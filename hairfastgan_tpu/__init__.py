@@ -1,0 +1,13 @@
+"""HairFastGAN-TPU: a TPU-native (JAX/XLA/Pallas/pjit) hairstyle-transfer framework.
+
+A from-scratch re-design of the capabilities of AIRI-Institute/HairFastGAN
+(reference layout documented in SURVEY.md) as a single device-resident JAX
+program: StyleGAN2 synthesis with a layer-slice API, e4e / FeatureStyle
+inversion, BiSeNet parsing, SEAN inpainting, CtrlHair shape adaptor, CLIP
+blending and FS post-processing, all as pure functions over frozen parameter
+pytrees, sharded over a `jax.sharding.Mesh` for batched triples.
+"""
+
+__version__ = "0.1.0"
+
+from hairfastgan_tpu.config import HairFastConfig  # noqa: F401
