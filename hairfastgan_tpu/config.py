@@ -25,6 +25,7 @@ class StyleGANConfig:
     channel_multiplier: int = 2
     blur_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
+    max_channels: int = 512  # cap; tests shrink this for fast tiny models
 
     @property
     def log_size(self) -> int:
@@ -39,10 +40,9 @@ class StyleGANConfig:
         return (self.log_size - 2) * 2 + 1  # 17 noise-carrying convs
 
     def channels(self, res: int) -> int:
-        base = {4: 512, 8: 512, 16: 512, 32: 512}
-        if res in base:
-            return base[res]
-        return (2 ** 14 // res) * self.channel_multiplier
+        if res <= 32:
+            return min(512, self.max_channels)
+        return min((2 ** 14 // res) * self.channel_multiplier, self.max_channels)
 
 
 @dataclasses.dataclass(frozen=True)
