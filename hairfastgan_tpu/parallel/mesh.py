@@ -1,0 +1,116 @@
+"""Device-mesh construction and sharding plans.
+
+The reference is single-process/single-GPU (SURVEY.md §2.10); its only
+scale levers are NCCL DDP in vendored trainers. Here parallelism is a
+first-class subsystem: a `Mesh` with a `data` axis (triples are independent
+→ batch sharding is the main throughput lever) and an optional `model` axis
+used to shard the widest parameter matrices (the 18× Linear(8640→512) FSE
+style heads, CLIP/e4e trunks) and the high-resolution feature maps.
+
+All entry points produce `NamedSharding`s consumed by `jax.jit`'s
+in_shardings/out_shardings — XLA inserts the ICI collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    """A mesh plus the canonical shardings for pipeline tensors."""
+
+    mesh: Mesh
+
+    @property
+    def data_axis(self) -> str:
+        return "data"
+
+    @property
+    def model_axis(self) -> Optional[str]:
+        return "model" if "model" in self.mesh.axis_names else None
+
+    def batch(self, ndim: int = 4) -> NamedSharding:
+        """Shard dim 0 (the triple batch) over `data`; replicate the rest."""
+        return NamedSharding(self.mesh, P("data", *([None] * (ndim - 1))))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def spec_batch(self, ndim: int = 4) -> P:
+        return P("data", *([None] * (ndim - 1)))
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshPlan:
+    """Build a 1-D data mesh or a 2-D (data, model) mesh.
+
+    Replaces the reference's `torch.distributed.init_process_group('nccl')`
+    (CtrlHair shape_branch/train.py:40 et al.); with JAX the mesh is
+    declarative and collectives are emitted by the compiler.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devs) // n_model
+    devs = devs[: n_data * n_model]
+    if n_model > 1:
+        arr = np.array(devs).reshape(n_data, n_model)
+        return MeshPlan(Mesh(arr, ("data", "model")))
+    arr = np.array(devs).reshape(n_data)
+    return MeshPlan(Mesh(arr, ("data",)))
+
+
+def shard_batch(plan: MeshPlan, tree):
+    """Place a pytree of batched arrays with dim-0 sharded over `data`."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, plan.batch(np.ndim(x))), tree
+    )
+
+
+def replicate(plan: MeshPlan, tree):
+    return jax.device_put(tree, plan.replicated())
+
+
+def _model_spec_for(path_str: str, x) -> P:
+    """Heuristic model-axis sharding: split the last (output-feature) dim of
+    large 2-D matrices and the output-channel dim of conv kernels when they
+    are divisible by the axis size; everything else replicated. Used only
+    when a `model` axis exists."""
+    if x.ndim == 2 and x.shape[-1] >= 512:
+        return P(None, "model")
+    if x.ndim == 4 and x.shape[-1] >= 512:
+        return P(None, None, None, "model")
+    return P()
+
+
+def shard_params_model_axis(plan: MeshPlan, params):
+    """Tensor-parallel placement of a parameter pytree over the model axis.
+
+    Output-feature sharding keeps matmuls local (row-parallel inputs arrive
+    replicated; the subsequent contraction over the sharded dim inserts a
+    psum) — the standard Megatron column/row pattern expressed purely as
+    shardings for XLA's SPMD partitioner.
+    """
+    if plan.model_axis is None:
+        return replicate(plan, params)
+
+    axis = plan.mesh.shape["model"]
+
+    def place(x):
+        spec = _model_spec_for("", x)
+        # only shard if divisible, else replicate
+        for dim, name in enumerate(spec):
+            if name == "model" and x.shape[dim] % axis != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(plan.mesh, spec))
+
+    return jax.tree.map(place, params)
