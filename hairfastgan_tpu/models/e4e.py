@@ -1,0 +1,199 @@
+"""encoder4editing (e4e) W+ inverter, TPU-native NHWC.
+
+Rebuilds the inference path of the reference e4e stack:
+  * bottleneck_IR / bottleneck_IR_SE backbone
+    (models/encoder4editing/models/encoders/helpers.py:80-131)
+  * Encoder4Editing: w0 + progressive FPN deltas
+    (models/encoder4editing/models/encoders/psp_encoders.py:126-200)
+  * get_latents adds latent_avg (utils/model_utils.py:7-14)
+
+Block math (bottleneck_IR_SE):
+    res = SE(bn(conv3x3_s(prelu(conv3x3(bn_in(x))))))
+    shortcut = maxpool1x1_s(x)  if in==depth else  bn(conv1x1_s(x))
+    y = res + shortcut
+
+FPN: c1 (128ch, idx 6), c2 (256ch, idx 20), c3 (512ch, idx 23);
+p2 = up(c3)+lat1(c2), p1 = up(p2)+lat2(c1); bilinear align_corners=True.
+Style heads: GradualStyleBlock = log2(spatial) stride-2 convs + EqualLinear.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hairfastgan_tpu.models.layers import (
+    init_bn,
+    init_conv,
+    init_conv_bn,
+    init_linear,
+    init_prelu,
+)
+from hairfastgan_tpu.ops.basic import (
+    avg_pool_global,
+    batch_norm,
+    conv2d_p,
+    leaky_relu,
+    max_pool,
+    prelu,
+    relu,
+    sigmoid,
+)
+from hairfastgan_tpu.ops.equalized import equal_linear
+from hairfastgan_tpu.ops.resample import resize
+
+Array = jax.Array
+
+# (in_channel, depth, stride) per bottleneck, 50-layer config
+# (helpers.py:30-37): 4 stages of [first stride-2, rest stride-1] units.
+def _blocks_50() -> List[Tuple[int, int, int]]:
+    spec = []
+    for in_c, depth, n in ((64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)):
+        spec.append((in_c, depth, 2))
+        spec += [(depth, depth, 1)] * (n - 1)
+    return spec
+
+
+def init_bottleneck_ir(key, in_c: int, depth: int, stride: int, se: bool):
+    keys = jax.random.split(key, 5)
+    p = {
+        "bn_in": init_bn(in_c),
+        "conv1": init_conv(keys[0], 3, in_c, depth, bias=False),
+        "prelu": init_prelu(depth),
+        "conv2": init_conv(keys[1], 3, depth, depth, bias=False),
+        "bn_out": init_bn(depth),
+        "stride": stride,
+    }
+    if in_c != depth:
+        p["shortcut"] = init_conv_bn(keys[2], 1, in_c, depth)
+    if se:
+        p["se"] = {
+            "fc1": init_conv(keys[3], 1, depth, depth // 16, bias=False),
+            "fc2": init_conv(keys[4], 1, depth // 16, depth, bias=False),
+        }
+    return p
+
+
+def bottleneck_ir(p, x: Array) -> Array:
+    s = p["stride"]
+    res = batch_norm(p["bn_in"], x)
+    res = prelu(p["prelu"], conv2d_p(p["conv1"], res, padding=1))
+    res = batch_norm(p["bn_out"], conv2d_p(p["conv2"], res, stride=s, padding=1))
+    if "se" in p:
+        a = avg_pool_global(res)
+        a = sigmoid(conv2d_p(p["se"]["fc2"], relu(conv2d_p(p["se"]["fc1"], a))))
+        res = res * a
+    if "shortcut" in p:
+        short = batch_norm(p["shortcut"]["bn"],
+                           conv2d_p(p["shortcut"]["conv"], x, stride=s))
+    else:
+        short = x[:, ::s, ::s, :] if s > 1 else x  # MaxPool2d(1, s) == subsample
+    return res + short
+
+
+def init_irse_body(key, se: bool = True):
+    spec = _blocks_50()
+    keys = jax.random.split(key, len(spec) + 1)
+    return {
+        "input": {
+            "conv": init_conv(keys[0], 3, 3, 64, bias=False),
+            "bn": init_bn(64),
+            "prelu": init_prelu(64),
+        },
+        "body": [init_bottleneck_ir(k, i, d, s, se)
+                 for k, (i, d, s) in zip(keys[1:], spec)],
+    }
+
+
+def irse_stem(p, x: Array) -> Array:
+    y = batch_norm(p["input"]["bn"], conv2d_p(p["input"]["conv"], x, padding=1))
+    return prelu(p["input"]["prelu"], y)
+
+
+def irse_pyramid(p, x: Array) -> Tuple[Array, Array, Array]:
+    """Run the body, returning (c1, c2, c3) at indices 6/20/23."""
+    x = irse_stem(p, x)
+    c1 = c2 = c3 = None
+    for i, blk in enumerate(p["body"]):
+        x = bottleneck_ir(blk, x)
+        if i == 6:
+            c1 = x
+        elif i == 20:
+            c2 = x
+        elif i == 23:
+            c3 = x
+    return c1, c2, c3
+
+
+# ---------------------------------------------------------------------------
+# GradualStyleBlock & Encoder4Editing
+# ---------------------------------------------------------------------------
+
+def init_gradual_style_block(key, in_c: int, out_c: int, spatial: int):
+    n = int(math.log2(spatial))
+    keys = jax.random.split(key, n + 1)
+    return {
+        "convs": [init_conv(keys[0], 3, in_c, out_c)] +
+                 [init_conv(keys[i], 3, out_c, out_c) for i in range(1, n)],
+        "linear": {"w": jax.random.normal(keys[n], (out_c, out_c)) ,
+                   "b": jnp.zeros((out_c,), jnp.float32)},
+    }
+
+
+def gradual_style_block(p, x: Array) -> Array:
+    for c in p["convs"]:
+        x = leaky_relu(conv2d_p(c, x, stride=2, padding=1), 0.01)
+    x = x.reshape(x.shape[0], -1)
+    return equal_linear(p["linear"], x)
+
+
+def _upsample_add(x: Array, y: Array) -> Array:
+    """bilinear align_corners resize of x to y's HW, then add (helpers.py:134-151)."""
+    up = resize(x, (y.shape[1], y.shape[2]), "bilinear", align_corners=True)
+    return up + y
+
+
+def init_e4e(key, n_styles: int = 18, se: bool = True):
+    keys = jax.random.split(key, n_styles + 4)
+    styles = []
+    for i in range(n_styles):
+        spatial = 16 if i < 3 else (32 if i < 7 else 64)
+        styles.append(init_gradual_style_block(keys[i], 512, 512, spatial))
+    return {
+        "backbone": init_irse_body(keys[n_styles], se=se),
+        "styles": styles,
+        "latlayer1": init_conv(keys[n_styles + 1], 1, 256, 512),
+        "latlayer2": init_conv(keys[n_styles + 2], 1, 128, 512),
+        "latent_avg": jnp.zeros((n_styles, 512), jnp.float32),
+    }
+
+
+def e4e_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
+    """x: [B,256,256,3] normalized ([-1,1]) -> W+ [B,18,512].
+
+    Inference stage (psp_encoders.py:187-200): w0 broadcast + per-layer FPN
+    deltas for i in 1..17, then + latent_avg (model_utils.py:7-14).
+    """
+    c1, c2, c3 = irse_pyramid(p["backbone"], x)
+    n_styles = len(p["styles"])
+
+    w0 = gradual_style_block(p["styles"][0], c3)
+    deltas = [w0]
+    features = c3
+    p2 = None
+    for i in range(1, n_styles):
+        if i == 3:
+            p2 = _upsample_add(c3, conv2d_p(p["latlayer1"], c2))
+            features = p2
+        elif i == 7:
+            features = _upsample_add(p2, conv2d_p(p["latlayer2"], c1))
+        deltas.append(gradual_style_block(p["styles"][i], features))
+
+    w = jnp.stack([w0] * n_styles, axis=1)
+    w = w.at[:, 1:].add(jnp.stack(deltas[1:], axis=1))
+    if add_latent_avg:
+        w = w + p["latent_avg"].astype(w.dtype)[None]
+    return w
