@@ -1,13 +1,15 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Current flagship metric: p50 wall time of a full 1024x1024 StyleGAN2
-config-f synthesis (the op mix that dominates HairFast's swap; see
-SURVEY.md §3.2 hot loops). Baseline context: the PyTorch reference performs
-a full hair transfer (4-6 generator slices + encoder trunks) in <1000 ms on
-a V100 (reference README.md:9); `vs_baseline` reports 1000/value as a
-speedup proxy until the full pipeline bench replaces this.
+Headline metric: p50 wall time of ONE full 1024x1024 hair transfer
+(Embedding -> Alignment -> Blending -> PostProcess, all 10 model families,
+'distinct' case) on one TPU chip, bf16 compute. Baseline: the PyTorch
+reference "performs in less than a second" per transfer on an NVIDIA V100
+(reference README.md:9); vs_baseline = 1000ms / p50.
 
-Protocol mirrors utils/time.py:14-36: warmup, N timed synced runs, p50.
+Protocol mirrors utils/time.py:14-36 (device-synced laps, p50 of a warm
+session). Weights are random-initialized (identical op mix/compute to
+converted checkpoints); distinct inputs per lap + a scalar host fetch per
+lap defeat any execution caching through the axon tunnel.
 """
 
 from __future__ import annotations
@@ -18,44 +20,47 @@ import time
 import jax
 import jax.numpy as jnp
 
-from hairfastgan_tpu.config import StyleGANConfig
-from hairfastgan_tpu.models import stylegan2 as sg2
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.pipeline import hair_fast
+from hairfastgan_tpu.zoo import init_zoo
 
 
 def main():
-    cfg = StyleGANConfig()
-    key = jax.random.PRNGKey(3407)
-    params = sg2.init_generator_params(key, cfg)
-    params = jax.device_put(params)
-    n_iters = 20
-    # distinct latents per iteration so no execution-result cache can short-cut
-    latents = [
-        jax.device_put(jax.random.normal(jax.random.PRNGKey(i),
-                                         (1, cfg.n_latent, cfg.style_dim)) * 0.01)
-        for i in range(n_iters + 2)
+    cfg = HairFastConfig()
+    # init params on host CPU (fast path), one bulk transfer to the chip
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        zoo = init_zoo(jax.random.PRNGKey(0), cfg)
+    zoo = jax.device_put(zoo)
+
+    n_iters = 10
+    size = cfg.stylegan.size
+    triples = [
+        tuple(jax.device_put(jax.random.uniform(jax.random.PRNGKey(3 * i + j),
+                                                (1, size, size, 3)))
+              for j in range(3))
+        for i in range(n_iters + 1)
     ]
 
-    def render(p, l):
-        img = sg2.generate(p, l, cfg=cfg, dtype=jnp.bfloat16)
-        return img, jnp.sum(img[0, 0, 0])  # scalar probe forcing full execution
+    def swap(zoo, face, shape, color):
+        out = hair_fast(zoo, face, shape, color, case="distinct", cfg=cfg,
+                        dtype=jnp.bfloat16)
+        return out, jnp.sum(out[:, ::97, ::97])  # scalar probe forces full exec
 
-    fn = jax.jit(render)
-    # warmup / compile
-    for i in range(2):
-        _, probe = fn(params, latents[n_iters + i])
-        float(probe)
+    fn = jax.jit(swap)
+    _, probe = fn(zoo, *triples[n_iters])  # compile + warm
+    float(probe)
 
     times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
-        _, probe = fn(params, latents[i])
-        float(probe)  # host fetch of 1 scalar == hard sync through the tunnel
+        _, probe = fn(zoo, *triples[i])
+        float(probe)  # hard sync through the tunnel
         times.append((time.perf_counter() - t0) * 1000.0)
     times.sort()
     p50 = times[len(times) // 2]
 
     print(json.dumps({
-        "metric": "stylegan2_1024_render_p50_ms",
+        "metric": "hairfast_swap_1024_p50_ms",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(1000.0 / p50, 3),

@@ -1,0 +1,137 @@
+"""HairFast public API: the `swap()` interface of the reference, TPU-backed.
+
+Mirrors reference hair_swap.py:27-133 (class HairFast + get_parser) with the
+same call signature; the execution model differs by design: each dedup case
+compiles ONCE into a device-resident XLA program, then every subsequent swap
+of that case is a single dispatch (no eager op stream, no host round-trips
+between stages).
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.pipeline.swap import CASES, hair_fast, swap_cases
+from hairfastgan_tpu.utils.images import equal_replacer, save_image01, to_image_array
+from hairfastgan_tpu.utils.timing import BenchSession
+from hairfastgan_tpu.zoo import init_zoo, load_zoo
+
+
+class HairFast:
+    """Hairstyle transfer interface (reference hair_swap.py:27-105).
+
+    Parameters come from a converted checkpoint directory when available;
+    otherwise a random-weight zoo is built (shape-correct, for smoke tests
+    and benchmarking without the pretrained files).
+    """
+
+    def __init__(self, cfg: HairFastConfig = HairFastConfig(), zoo: Optional[Dict] = None):
+        self.cfg = cfg
+        if zoo is not None:
+            self.zoo = zoo
+        elif Path(cfg.checkpoint_dir).exists():
+            self.zoo = load_zoo(cfg.checkpoint_dir, cfg)
+        else:
+            self.zoo = init_zoo(jax.random.PRNGKey(0), cfg)
+        self.zoo = jax.device_put(self.zoo)
+        self._jitted: Dict[str, callable] = {}
+        self.bench = BenchSession("swap")
+
+    def _fn(self, case: str):
+        if case not in self._jitted:
+            cfg = self.cfg
+
+            @partial(jax.jit, static_argnames=())
+            def fn(zoo, face, shape, color, noise_key):
+                out = hair_fast(zoo, face, shape, color, case=case, cfg=cfg,
+                                dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                                else jnp.float32,
+                                noise_key=noise_key)
+                return out, jnp.sum(out[:, 0, 0, 0])  # scalar sync probe
+
+            self._jitted[case] = fn
+        return self._jitted[case]
+
+    def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
+             align: bool = False, seed: Optional[int] = None,
+             exp_name: Optional[str] = None) -> np.ndarray:
+        """face/shape/color (path | PIL | ndarray | tensor-like) -> [1024,1024,3]
+        float image in [0,1]."""
+        size = self.cfg.stylegan.size
+        imgs = [to_image_array(im, size) for im in (face_img, shape_img, color_img)]
+        if align:
+            from hairfastgan_tpu.utils.face_align import align_faces
+
+            imgs = align_faces(imgs)
+        imgs = equal_replacer(imgs)
+        case = swap_cases(*imgs)
+
+        face, shape, color = (jnp.asarray(im)[None] for im in imgs)
+        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        fn = self._fn(case)
+
+        if benchmark:
+            self.bench.start()
+        out, probe = fn(self.zoo, face, shape, color, key)
+        if benchmark:
+            self.bench.lap(np.asarray(probe))
+
+        result = np.asarray(out[0], dtype=np.float32)
+        if self.cfg.save_all and exp_name is not None:
+            save_image01(Path(self.cfg.save_all_dir) / exp_name / "final.png", result)
+        return result
+
+    __call__ = swap
+
+    def swap_batch(self, faces, shapes, colors, case: str = "distinct") -> np.ndarray:
+        """Batched triples [B,H,W,3] -> [B,H,W,3]; the TPU throughput path."""
+        fn = self._fn(case)
+        out, _ = fn(self.zoo, jnp.asarray(faces), jnp.asarray(shapes),
+                    jnp.asarray(colors), jax.random.PRNGKey(self.cfg.seed))
+        return np.asarray(out, dtype=np.float32)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """CLI flags mirroring reference hair_swap.get_parser (hair_swap.py:108-133)."""
+    p = argparse.ArgumentParser(description="HairFast-TPU")
+    p.add_argument("--save_all_dir", type=Path, default=Path("output"))
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--ckpt_dir", type=str, default="pretrained_models_jax",
+                   help="directory of converted checkpoints (see zoo.load_zoo)")
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--latent", type=int, default=512)
+    p.add_argument("--n_mlp", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--save_all", action="store_true")
+    p.add_argument("--mixing", type=float, default=0.95)
+    p.add_argument("--smooth", type=int, default=5)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> HairFastConfig:
+    import dataclasses
+
+    from hairfastgan_tpu.config import StyleGANConfig
+
+    return HairFastConfig(
+        stylegan=StyleGANConfig(size=args.size,
+                                channel_multiplier=args.channel_multiplier,
+                                style_dim=args.latent, n_mlp=args.n_mlp),
+        batch_size=args.batch_size,
+        mixing=args.mixing,
+        smooth=args.smooth,
+        save_all=args.save_all,
+        save_all_dir=args.save_all_dir,
+        checkpoint_dir=Path(args.ckpt_dir),
+        compute_dtype=args.compute_dtype,
+    )

@@ -1,0 +1,113 @@
+"""ctypes binding for the native C++ prefetching image loader.
+
+The native side (native/hf_loader.cpp) replaces the reference's PIL+joblib
+host loading (utils/train.py:114-122) with threaded libjpeg/libpng decode +
+bicubic resize straight into float32 NHWC buffers. Build happens lazily on
+first use (g++ one-liner, cached next to the source); environments without
+a toolchain fall back to the PIL path in utils/images.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libhf_loader.so"
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", str(_NATIVE_DIR / "hf_loader.cpp"),
+           "-o", str(_LIB_PATH), "-ljpeg", "-lpng", "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        _build()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.hfl_create.restype = ctypes.c_void_p
+    lib.hfl_create.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int]
+    lib.hfl_next.restype = ctypes.c_int
+    lib.hfl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                             ctypes.POINTER(ctypes.c_int)]
+    lib.hfl_destroy.argtypes = [ctypes.c_void_p]
+    lib.hfl_load_one.restype = ctypes.c_int
+    lib.hfl_load_one.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load_lib()
+        return True
+    except Exception:
+        return False
+
+
+def load_image_native(path: str, out_size: int = 1024) -> np.ndarray:
+    """One image -> [out_size, out_size, 3] float32 in [0,1]."""
+    lib = _load_lib()
+    out = np.empty((out_size, out_size, 3), np.float32)
+    ok = lib.hfl_load_one(str(path).encode(), out_size,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if not ok:
+        raise IOError(f"native decode failed for {path}")
+    return out
+
+
+class NativeImageLoader:
+    """Threaded prefetching loader over a list of paths.
+
+    Iterates (index, image) in completion order; decode failures yield
+    index < 0 and are skipped with a warning.
+    """
+
+    def __init__(self, paths: Sequence[str], out_size: int = 1024,
+                 threads: int = 4):
+        self._lib = _load_lib()
+        self.paths = [str(p) for p in paths]
+        self.out_size = out_size
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        self._handle = self._lib.hfl_create(arr, len(self.paths), out_size,
+                                            threads)
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        idx = ctypes.c_int(0)
+        while True:
+            out = np.empty((self.out_size, self.out_size, 3), np.float32)
+            ok = self._lib.hfl_next(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(idx))
+            if not ok:
+                break
+            if idx.value < 0:
+                import warnings
+
+                warnings.warn(f"decode failed: {self.paths[-idx.value - 1]}")
+                continue
+            yield idx.value, out
+
+    def close(self):
+        if self._handle:
+            self._lib.hfl_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -23,7 +23,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from hairfastgan_tpu.models.layers import init_bn, init_conv, init_conv_bn
+from hairfastgan_tpu.models.layers import Static, init_bn, init_conv, init_conv_bn
 from hairfastgan_tpu.ops.basic import (
     avg_pool_global,
     batch_norm,
@@ -63,7 +63,7 @@ def init_basic_block(key, cin: int, cout: int, stride: int):
     p = {
         "conv1": init_conv_bn(k1, 3, cin, cout),
         "conv2": init_conv_bn(k2, 3, cout, cout),
-        "stride": stride,
+        "stride": Static(stride),
     }
     if cin != cout or stride != 1:
         p["downsample"] = init_conv_bn(k3, 1, cin, cout)
@@ -71,7 +71,7 @@ def init_basic_block(key, cin: int, cout: int, stride: int):
 
 
 def basic_block(p, x: Array) -> Array:
-    s = p["stride"]
+    s = p["stride"].value
     r = relu(batch_norm(p["conv1"]["bn"], conv2d_p(p["conv1"]["conv"], x, stride=s, padding=1)))
     r = batch_norm(p["conv2"]["bn"], conv2d_p(p["conv2"]["conv"], r, padding=1))
     short = x
@@ -170,7 +170,7 @@ def init_bisenet(key, n_classes: int = 19):
         "head": init_head(keys[7], 256, 256, n_classes),
         "head16": init_head(keys[8], 128, 64, n_classes),
         "head32": init_head(jax.random.split(keys[8])[0], 128, 64, n_classes),
-        "n_classes": n_classes,
+        "n_classes": Static(n_classes),
     }
 
 

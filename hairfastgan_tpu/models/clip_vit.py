@@ -52,7 +52,6 @@ def init_block(key, width: int, heads: int):
             "fc": init_linear(keys[2], width, 4 * width),
             "proj": init_linear(keys[3], 4 * width, width),
         },
-        "heads": heads,
     }
 
 
@@ -77,8 +76,9 @@ def quick_gelu(x: Array) -> Array:
 
 
 def block(p, x: Array) -> Array:
+    heads = x.shape[-1] // 64  # CLIP convention: head_dim = 64
     x = x + _attention(p["attn"], layer_norm(x, -1, p["ln1"]["gamma"], p["ln1"]["beta"]),
-                       p["heads"])
+                       heads)
     h = layer_norm(x, -1, p["ln2"]["gamma"], p["ln2"]["beta"])
     h = linear(p["mlp"]["proj"], quick_gelu(linear(p["mlp"]["fc"], h)))
     return x + h

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from hairfastgan_tpu.models.layers import (
+    Static,
     init_bn,
     init_conv,
     init_conv_bn,
@@ -65,7 +66,7 @@ def init_bottleneck_ir(key, in_c: int, depth: int, stride: int, se: bool):
         "prelu": init_prelu(depth),
         "conv2": init_conv(keys[1], 3, depth, depth, bias=False),
         "bn_out": init_bn(depth),
-        "stride": stride,
+        "stride": Static(stride),
     }
     if in_c != depth:
         p["shortcut"] = init_conv_bn(keys[2], 1, in_c, depth)
@@ -78,7 +79,7 @@ def init_bottleneck_ir(key, in_c: int, depth: int, stride: int, se: bool):
 
 
 def bottleneck_ir(p, x: Array) -> Array:
-    s = p["stride"]
+    s = p["stride"].value
     res = batch_norm(p["bn_in"], x)
     res = prelu(p["prelu"], conv2d_p(p["conv1"], res, padding=1))
     res = batch_norm(p["bn_out"], conv2d_p(p["conv2"], res, stride=s, padding=1))

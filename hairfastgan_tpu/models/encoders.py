@@ -41,7 +41,6 @@ def init_modulation_module(key, rows: int, inp: int = 512, middle: int = 512):
         "fc": init_linear(k1, 512, 512),
         "gamma": mlp_ln_lrelu(k2, inp, middle, 512),
         "beta": mlp_ln_lrelu(k3, inp, middle, 512),
-        "rows": rows,
     }
 
 
@@ -107,12 +106,13 @@ def blending_model(p, latent_face: Array, latent_color: Array,
 
     Images are [-1,1] normalized 256^2 NHWC (Encoders.py:94-103).
     """
+    rows = latent_color.shape[1]  # 12 for the 1024 config (18-6)
     ef = clip_image_embed(p["clip"], target_face)[:, None, :]
     ec = clip_image_embed(p["clip"], hair_color)[:, None, :]
     emb = jnp.concatenate([
         latent_color,
-        jnp.tile(ef, (1, 12, 1)).astype(latent_color.dtype),
-        jnp.tile(ec, (1, 12, 1)).astype(latent_color.dtype),
+        jnp.tile(ef, (1, rows, 1)).astype(latent_color.dtype),
+        jnp.tile(ec, (1, rows, 1)).astype(latent_color.dtype),
     ], axis=-1)
     dt = pixel_norm(latent_face, axis=1)
     dt = modulation_stack(p["mods"], dt, emb)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from hairfastgan_tpu.models.layers import (
+    Static,
     init_bn,
     init_conv,
     init_conv_bn,
@@ -166,7 +167,7 @@ def _init_content_layer(key, cin: int, kernel, stride):
         "prelu": init_prelu(512),
         "conv2": init_conv(k2, kernel, 512, 512, bias=False),
         "bn2": init_bn(512),
-        "stride": stride,
+        "stride": Static(stride),
     }
 
 
@@ -174,7 +175,7 @@ def _content_layer(p, x: Array) -> Array:
     y = batch_norm(p["bn0"], x)
     y = conv2d_p(p["conv1"], y, padding=1)
     y = prelu(p["prelu"], batch_norm(p["bn1"], y))
-    y = conv2d_p(p["conv2"], y, stride=p["stride"], padding=1)
+    y = conv2d_p(p["conv2"], y, stride=p["stride"].value, padding=1)
     return batch_norm(p["bn2"], y)
 
 
@@ -201,7 +202,7 @@ def init_fs_encoder(
                                 FS_KERNELS[l - shift], FS_STRIDES[l - shift])
             for i, l in enumerate(fs_layers)
         ],
-        "fs_layers": tuple(fs_layers),
+        "fs_layers": Static(tuple(fs_layers)),
     }
     return p
 
@@ -213,7 +214,7 @@ def fs_encode(p, x: Array) -> Tuple[Array, List[Array]]:
     Style head input = concat of AdaptiveAvgPool(3,3) of all 4 stage outputs
     (channel order preserved), flattened in torch NCHW order.
     """
-    tap_block2 = max(p["fs_layers"]) > 7
+    tap_block2 = max(p["fs_layers"].value) > 7
     feats = trunk_features(p["trunk"], x)
     content = []
     src = feats[1] if tap_block2 else feats[2]

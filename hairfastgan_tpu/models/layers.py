@@ -9,10 +9,24 @@ frozen-zoo params are overwritten by the checkpoint converter
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import dataclasses
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class Static:
+    """Static (non-traced) config value living inside a parameter pytree.
+
+    jax.tree treats it as an empty subtree, so jit/grad/optimizers ignore it
+    while apply functions read `.value` as a Python constant (strides, layer
+    tables — anything that must stay static under tracing).
+    """
+
+    value: Any
 
 from hairfastgan_tpu.ops.basic import batch_norm, conv2d_p, leaky_relu, linear, prelu, relu
 

@@ -112,7 +112,6 @@ def init_ace(key, norm_nc: int, use_rgb: bool = True):
         "spade": init_spade(keys[0], norm_nc),
         "bn": init_bn(norm_nc),  # affine-free: converter sets gamma=1, beta=0
         "noise_var": jnp.zeros((norm_nc,), jnp.float32),
-        "use_rgb": use_rgb,
     }
     if use_rgb:
         p["blend_gamma"] = jnp.zeros((), jnp.float32)
@@ -141,7 +140,7 @@ def ace(p, x: Array, seg_onehot: Array, style_codes: Optional[Array],
     seg = resize(seg_onehot, (x.shape[1], x.shape[2]), "nearest")
     gamma_spade, beta_spade = spade_gamma_beta(p["spade"], seg)
 
-    if p["use_rgb"] and style_codes is not None:
+    if "fc_mu" in p and style_codes is not None:
         # per-region fc_mu + relu, then scatter over the map: one stacked
         # matmul [B,19,512]x[19,512,512] and one einsum
         w = jnp.stack([f["w"] for f in p["fc_mu"]])  # [19, 512, 512]

@@ -129,15 +129,15 @@ def init_mask_decoder(key, in_dim: int, out_ch: int):
         "in": init_linear(keys[LAYER_NUM], in_dim, in_channel * in_size ** 2),
         "layers": layers,
         "out": init_conv(keys[LAYER_NUM + 1], 3, cin, out_ch),
-        "in_channel": in_channel,
-        "in_size": in_size,
     }
 
 
 def mask_decode(p, code: Array) -> Array:
     x = linear(p["in"], code)
-    # torch reshape(-1, C, H, W): channel-major
-    x = x.reshape(-1, p["in_channel"], p["in_size"], p["in_size"])
+    # torch reshape(-1, C, H, W): channel-major; geometry from weight shapes
+    in_channel = p["layers"][0]["conv"]["w"].shape[2]
+    in_size = int((x.shape[-1] // in_channel) ** 0.5)
+    x = x.reshape(-1, in_channel, in_size, in_size)
     x = jnp.transpose(x, (0, 2, 3, 1))
     for l in p["layers"]:
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest x2

@@ -219,7 +219,7 @@ def _t_content_layer(sd: SD, name: str) -> dict:
         "prelu": t_prelu(sd, f"{name}.3"),
         "conv2": t_conv(sd, f"{name}.4"),
         "bn2": t_bn(sd, f"{name}.5"),
-        "stride": None,  # caller fills from fs table
+        "stride": None,  # caller fills a Static from the fs table
     }
 
 
@@ -234,13 +234,13 @@ def convert_fs_encoder(sd: SD, fs_layers: Sequence[int] = (5,)) -> dict:
         "styles": [t_linear(sd, f"styles.{i}")
                    for i in range(_n_children(sd, "styles"))],
         "content": [],
-        "fs_layers": tuple(fs_layers),
+        "fs_layers": Static(tuple(fs_layers)),
     }
     multi = any(k.startswith("content_layer.0.0") for k in sd)
     for i, l in enumerate(fs_layers):
         name = f"content_layer.{i}" if multi else "content_layer"
         cl = _t_content_layer(sd, name)
-        cl["stride"] = FS_STRIDES[l - shift]
+        cl["stride"] = Static(FS_STRIDES[l - shift])
         p["content"].append(cl)
     return p
 
@@ -273,7 +273,7 @@ def _t_bottleneck_ir(sd: SD, name: str) -> dict:
         "prelu": t_prelu(sd, f"{name}.res_layer.2"),
         "conv2": t_conv(sd, f"{name}.res_layer.3"),
         "bn_out": t_bn(sd, f"{name}.res_layer.4"),
-        "stride": None,  # filled by caller from the 50-layer spec
+        "stride": None,  # caller fills a Static from the 50-layer spec
     }
     if f"{name}.res_layer.5.fc1.weight" in sd:
         p["se"] = {"fc1": t_conv(sd, f"{name}.res_layer.5.fc1"),
@@ -291,7 +291,7 @@ def convert_e4e(sd: SD, latent_avg: Array = None) -> dict:
     body = []
     for i, (_, _, stride) in enumerate(spec):
         b = _t_bottleneck_ir(sd, f"body.{i}")
-        b["stride"] = stride
+        b["stride"] = Static(stride)
         body.append(b)
     styles = []
     for i in range(_n_children(sd, "styles")):
@@ -324,7 +324,7 @@ def _t_basicblock(sd: SD, name: str, stride: int) -> dict:
     p = {
         "conv1": {"conv": t_conv(sd, f"{name}.conv1"), "bn": t_bn(sd, f"{name}.bn1")},
         "conv2": {"conv": t_conv(sd, f"{name}.conv2"), "bn": t_bn(sd, f"{name}.bn2")},
-        "stride": stride,
+        "stride": Static(stride),
     }
     if f"{name}.downsample.0.weight" in sd:
         p["downsample"] = {"conv": t_conv(sd, f"{name}.downsample.0"),
@@ -372,7 +372,7 @@ def convert_bisenet(sd: SD, n_classes: int = 19) -> dict:
         "head": _t_bise_head(sd, "conv_out"),
         "head16": _t_bise_head(sd, "conv_out16"),
         "head32": _t_bise_head(sd, "conv_out32"),
-        "n_classes": n_classes,
+        "n_classes": Static(n_classes),
     }
 
 
@@ -393,7 +393,6 @@ def _t_ace(sd: SD, name: str, use_rgb: bool) -> dict:
         "spade": _t_spade(sd, f"{name}.Spade"),
         "bn": t_bn(sd, f"{name}.param_free_norm"),
         "noise_var": sd[f"{name}.noise_var"].copy(),
-        "use_rgb": use_rgb,
     }
     if use_rgb:
         p["blend_gamma"] = sd[f"{name}.blending_gamma"].reshape(()).copy()
@@ -488,8 +487,6 @@ def _t_mask_decoder(sd: SD, name: str) -> dict:
         "in": t_linear(sd, f"{name}.in_layer.fc"),
         "layers": layers,
         "out": t_conv(sd, f"{name}.out_layer.conv"),
-        "in_channel": min(32 * 2 ** LAYER_NUM, 2048),
-        "in_size": INPUT_SIZE // 2 ** LAYER_NUM,
     }
 
 
@@ -527,7 +524,6 @@ def convert_clip_image_tower(sd: SD, prefix: str = "visual") -> dict:
                            "b": sd[f"{b}.mlp.c_fc.bias"].astype(np.float32)},
                     "proj": {"w": sd[f"{b}.mlp.c_proj.weight"].T.astype(np.float32),
                              "b": sd[f"{b}.mlp.c_proj.bias"].astype(np.float32)}},
-            "heads": g("conv1.weight").shape[0] // 64,
         })
     return {
         "patch_conv": {"w": g("conv1.weight").transpose(2, 3, 1, 0).copy()},
@@ -556,7 +552,6 @@ def _t_modulation(sd: SD, name: str) -> dict:
         "fc": t_linear(sd, f"{name}.fc"),
         "gamma": branch("gamma_function"),
         "beta": branch("beta_function"),
-        "rows": None,  # static; apply fn doesn't read it
     }
 
 

@@ -1,0 +1,137 @@
+"""Alignment stage: pose rotation + target hair shape + F-space blending.
+
+Rebuilds reference models/Alignment.py:43-181 as pure functions:
+
+shape_module (:43-103):
+  * RotateModel on W2[:, :6] conditioned on W1[:, :6] -> full G render of
+    the rotated shape image -> BiSeNet re-segmentation (at 1024, labels
+    nearest-resized to 256)
+  * CtrlHair shape adaptor: face code of mask1 + hair code of the rotated
+    mask2 -> recombined 256^2 target mask
+  * hair masks = (labels == 13)
+
+align_images (:105-181):
+  * SEAN: encode both 256 images under their masks; decode each code set
+    under the target mask (inpainting)
+  * re-embed both SEAN outputs through e4e -> (F, W) of inpainted images
+  * F blending: three soft-mask lerps at 32x32 using dilate/erode masks
+
+The `same` flag replaces the reference's `img1_in is img2_in` object
+identity fast path with a static compile-time specialization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.models import bisenet, encoders, sean, shape_adaptor, stylegan2
+from hairfastgan_tpu.ops.morphology import dilate_erode
+from hairfastgan_tpu.ops.resample import resize
+from hairfastgan_tpu.pipeline.embedding import e4e_embed
+
+Array = jax.Array
+
+
+def _hair_mask(labels: Array, hair_label: int, dtype) -> Array:
+    """[B,256,256] int -> [B,256,256,1] float hair mask."""
+    return (labels == hair_label).astype(dtype)[..., None]
+
+
+def shape_module(
+    zoo: Dict,
+    embed1: Dict[str, Array],
+    embed2: Dict[str, Array],
+    *,
+    same: bool = False,
+    cfg: HairFastConfig = HairFastConfig(),
+    dtype=jnp.float32,
+    noise_key: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Target-mask prediction for the (face=1, other=2) pair.
+
+    Returns dict with target_mask [B,256,256] and hair masks; the reference
+    returns only HM_X when only_target — callers here just read what they
+    need.
+    """
+    mask1, mask2 = embed1["mask"], embed2["mask"]
+
+    if same:
+        target_mask = mask1
+        rot_mask = mask2
+    else:
+        w1, w2 = embed1["W"], embed2["W"]
+        rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6].astype(dtype),
+                                     w1[:, :6].astype(dtype))
+        rotate_to = jnp.concatenate([rot6, w2[:, 6:].astype(dtype)], axis=1)
+        _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
+                                       cfg=cfg.stylegan, dtype=dtype,
+                                       noise_key=noise_key)
+        i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
+        # reference re-segments the rotated render at full res then
+        # downsamples labels to 256 (Alignment.py:65-67 -> Net.py:108-115)
+        rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
+
+        face_1, _ = shape_adaptor.get_hair_face_code(zoo["shape_adaptor"], mask1)
+        _, hair_2 = shape_adaptor.get_hair_face_code(zoo["shape_adaptor"], rot_mask)
+        target_mask = shape_adaptor.get_new_shape(zoo["shape_adaptor"], face_1, hair_2)
+
+    return {
+        "target_mask": target_mask,
+        "HM_X": _hair_mask(target_mask, cfg.hair_label, dtype),
+        "hair_mask1": _hair_mask(mask1, cfg.hair_label, dtype),
+        "hair_mask2": _hair_mask(mask2, cfg.hair_label, dtype),
+        "rot_mask": rot_mask,
+    }
+
+
+def align_images(
+    zoo: Dict,
+    embed1: Dict[str, Array],
+    embed2: Dict[str, Array],
+    *,
+    same: bool = False,
+    cfg: HairFastConfig = HairFastConfig(),
+    dtype=jnp.float32,
+    noise_key: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """F-space alignment of (face, shape). Returns latent_F_align + HM_X."""
+    sm = shape_module(zoo, embed1, embed2, same=same, cfg=cfg, dtype=dtype,
+                      noise_key=noise_key)
+    if same:
+        return {"latent_F_align": embed1["F"], "HM_X": sm["HM_X"]}
+
+    target_mask = sm["target_mask"]
+
+    # SEAN inpainting: encode both images, decode both under the target mask
+    images = jnp.concatenate([embed1["image_256"], embed2["image_256"]], axis=0)
+    labels = jnp.concatenate([embed1["mask"], embed2["mask"]], axis=0)
+    codes = sean.sean_encode(zoo["sean"], images.astype(dtype), labels)
+    tm2 = jnp.concatenate([target_mask, target_mask], axis=0)
+    gens = sean.sean_decode(zoo["sean"], codes, tm2, noise_key=noise_key)
+
+    # e4e re-embedding of the two inpainted images (Alignment.py:134-136)
+    enc = e4e_embed(zoo, gens, cfg=cfg, dtype=dtype)
+    b = embed1["F"].shape[0]
+    intermediate_align, latent_F_out_new = enc["F"][:b], enc["F"][b:]
+
+    # soft-mask F blending (Alignment.py:139-159)
+    hm1, hm2, hmx = sm["hair_mask1"], sm["hair_mask2"], sm["HM_X"]
+    masks = jnp.concatenate([
+        1.0 - (1.0 - hm1) * (1.0 - hmx),
+        hmx,
+        hm2 * hmx,
+    ], axis=0)
+    dil, ero = dilate_erode(masks, cfg.smooth)
+    free_mask = jnp.concatenate([dil[:b], ero[b:2 * b], ero[2 * b:]], axis=0)
+    low = 1.0 - resize(free_mask, (32, 32), "bicubic")
+    low0, low1, low2 = low[:b], low[b:2 * b], low[2 * b:]
+
+    f_align = intermediate_align + low0 * (embed1["F"] - intermediate_align)
+    f_align = latent_F_out_new + low1 * (f_align - latent_F_out_new)
+    f_align = embed2["F"] + low2 * (f_align - embed2["F"])
+
+    return {"latent_F_align": f_align, "HM_X": sm["HM_X"]}

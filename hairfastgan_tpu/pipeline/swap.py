@@ -1,0 +1,103 @@
+"""Full hair-transfer pipeline: one jittable device-resident program.
+
+Composes Embedding -> Alignment -> Blending -> PostProcess
+(reference hair_swap.py:39-61) over a batch of (face, shape, color) image
+triples. The reference's object-identity dedup fast paths (hair_swap.py:54,
+Embedding.py:85, Alignment.py:116, Blending.py:56) become the static `case`
+argument — each case compiles to its own fully-static XLA program:
+
+  'distinct'        all three images differ (the general path)
+  'shape_eq_color'  shape is color        -> one shape module, reuse HM_X
+  'face_eq_shape'   face is shape         -> F_align = F_face fast path
+  'same'            all equal             -> reconstruction-only path
+
+Inputs are [B,1024,1024,3] float images in [0,1] (batched triples: every
+stage runs all B transfers at once — the TPU throughput lever the eager
+reference lacks).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.pipeline.alignment import align_images, shape_module
+from hairfastgan_tpu.pipeline.blending import blend_images
+from hairfastgan_tpu.pipeline.embedding import embed_images
+
+Array = jax.Array
+
+CASES = ("distinct", "shape_eq_color", "face_eq_shape", "same")
+
+
+def swap_cases(face, shape, color) -> str:
+    """Pick the static specialization from host-side identity (or equality)."""
+    if face is shape and shape is color:
+        return "same"
+    if shape is color:
+        return "shape_eq_color"
+    if face is shape:
+        return "face_eq_shape"
+    return "distinct"
+
+
+def hair_fast(
+    zoo: Dict,
+    face: Array,
+    shape: Array,
+    color: Array,
+    *,
+    case: str = "distinct",
+    cfg: HairFastConfig = HairFastConfig(),
+    dtype=jnp.float32,
+    noise_key: Optional[Array] = None,
+) -> Array:
+    """One batched hair transfer -> [B,1024,1024,3] in [0,1]."""
+    if case not in CASES:
+        raise ValueError(f"case must be one of {CASES}, got {case!r}")
+    b = face.shape[0]
+
+    # Embedding: run the <=3 distinct images as ONE batch through the zoo
+    if case == "same":
+        emb = embed_images(zoo, face, mix=False, cfg=cfg, dtype=dtype)
+        e_face = e_shape = e_color = emb
+    elif case == "shape_eq_color":
+        stacked = jnp.concatenate([face, shape], axis=0)
+        emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
+        e_face = {k: v[:b] for k, v in emb.items()}
+        e_shape = e_color = {k: v[b:] for k, v in emb.items()}
+    elif case == "face_eq_shape":
+        stacked = jnp.concatenate([face, color], axis=0)
+        emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
+        e_face = e_shape = {k: v[:b] for k, v in emb.items()}
+        e_color = {k: v[b:] for k, v in emb.items()}
+    else:
+        stacked = jnp.concatenate([face, shape, color], axis=0)
+        emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
+        e_face = {k: v[:b] for k, v in emb.items()}
+        e_shape = {k: v[b:2 * b] for k, v in emb.items()}
+        e_color = {k: v[2 * b:] for k, v in emb.items()}
+
+    keys = (jax.random.split(noise_key, 3) if noise_key is not None
+            else (None, None, None))
+
+    # Alignment (face, shape)
+    align_shape = align_images(
+        zoo, e_face, e_shape, same=case in ("face_eq_shape", "same"),
+        cfg=cfg, dtype=dtype, noise_key=keys[0])
+
+    # Shape module for the color image's hair region (hair_swap.py:52-57)
+    if case in ("shape_eq_color", "same"):
+        align_color = align_shape
+    else:
+        align_color = shape_module(
+            zoo, e_face, e_color, same=False, cfg=cfg, dtype=dtype,
+            noise_key=keys[1])
+
+    # Blending + PostProcess
+    return blend_images(
+        zoo, align_shape, align_color, e_face, e_color,
+        all_same=(case == "same"), cfg=cfg, dtype=dtype, noise_key=keys[2])

@@ -1,0 +1,100 @@
+"""Training scaffolding shared by the three encoder training loops.
+
+The reference trains Rotate/Blending/PostProcess with torch Adam +
+clip_grad_norm(5) on a single GPU (scripts/*_train.py). Here a train step
+is one jitted function over a `Mesh` — the data axis shards the batch and
+the SPMD partitioner inserts the gradient psum, replacing DDP (SURVEY.md
+§2.10). Loss normalization mirrors MovingAverageLoss of rotate_train.py
+(per-loss EMA scaling so multi-objective magnitudes match their targets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hairfastgan_tpu.parallel.mesh import MeshPlan
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def adam_with_clip(lr: float = 1e-4, clip_norm: float = 5.0) -> optax.GradientTransformation:
+    """Adam + global-norm clip 5 (reference scripts/*_train.py optimizers)."""
+    return optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+
+
+def make_train_step(
+    loss_fn: Callable[..., Tuple[Array, Dict[str, Array]]],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """loss_fn(params, *batch) -> (scalar, aux) => jitted update step.
+
+    Under a mesh with batch args sharded over `data`, the mean loss makes
+    XLA emit the gradient all-reduce over ICI automatically.
+    """
+
+    def step(params, opt_state, *batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, *batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        return params, opt_state, aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+class MovingAverageLoss:
+    """Host-side EMA re-weighting (rotate_train.py MovingAverageLoss):
+    each term is scaled so its running magnitude tracks the given target."""
+
+    def __init__(self, targets: Dict[str, float], beta: float = 0.98):
+        self.targets = targets
+        self.beta = beta
+        self.ema: Dict[str, float] = {}
+
+    def weights(self, losses: Dict[str, float]) -> Dict[str, float]:
+        w = {}
+        for k, target in self.targets.items():
+            v = float(losses[k])
+            self.ema[k] = self.beta * self.ema.get(k, v) + (1 - self.beta) * v
+            w[k] = target / max(self.ema[k], 1e-8)
+        return w
+
+
+class MetricLogger:
+    """Minimal metric logger: running scalars + optional jsonl file.
+
+    Stands in for the reference's WandbLogger (utils/train.py:31-63); wandb
+    is not available in this environment, so metrics stream to a local
+    jsonl that any dashboard can tail.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.step = 0
+        self._file = open(path, "a") if path else None
+
+    def log(self, **scalars):
+        self.step += 1
+        if self._file:
+            import json
+
+            self._file.write(json.dumps({"step": self.step, **{
+                k: float(v) for k, v in scalars.items()}}) + "\n")
+            self._file.flush()
+
+    def close(self):
+        if self._file:
+            self._file.close()

@@ -1,0 +1,154 @@
+"""PostProcess (refinement) encoder training — JAX port of scripts/pp_train.py.
+
+The most complex loop (pp_train.py:121-183):
+  model(source, target) -> (S, F)
+  gen_im_W = G[0..8](S)           # W-path render
+  F_w      = G[0..4](S)           # feature at pair 4 (64x64)
+  gen_im_F = G[5..8](S, layer_in=F [alpha-annealed mix with F_w])
+  losses   = LossBuilderMulti: dice over BiSeNet-16, masked ID, multi-scale
+             LPIPS face/hair, feature reconstruction, optional inpaint +
+             adversarial (softplus) with discriminator/R1 steps
+
+Default loss weights from pp_train.py's argparse (landmark/id/feat_rec/
+lpips_scale/inpaint/adv).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.losses.identity import id_loss
+from hairfastgan_tpu.losses.objectives import (
+    adv_d_loss,
+    adv_g_loss,
+    dice_loss,
+    dilated_mask,
+    feat_recon_loss,
+    r1_penalty,
+)
+from hairfastgan_tpu.losses.perceptual import lpips_scale
+from hairfastgan_tpu.models import bisenet, encoders, stylegan2
+from hairfastgan_tpu.models.stylegan2_discriminator import discriminator
+from hairfastgan_tpu.ops.resample import resize
+from hairfastgan_tpu.pipeline.embedding import to_res
+from hairfastgan_tpu.train.common import adam_with_clip, make_train_step
+
+Array = jax.Array
+
+DEFAULT_WEIGHTS = {
+    "landmark": 1.0, "id": 1.0, "feat_rec": 1.0,
+    "lpips_scale": 1.0, "inpaint": 1.0, "adv": 0.1,
+}
+
+
+def _seg16_logits(frozen, img01: Array) -> Array:
+    """BiSeNet-16 on the 512-downsampled [0,1] image (pp_losses.py:340-345)."""
+    x = to_res(img01, 512)
+    return bisenet.bisenet_logits(frozen["bisenet16"], bisenet.to_bisenet_input(x))
+
+
+def pp_loss(
+    params,
+    frozen: Dict,
+    batch: Tuple[Array, ...],
+    weights: Dict[str, float] = DEFAULT_WEIGHTS,
+    alpha: float = 1.0,
+    disc_params=None,
+    cfg: HairFastConfig = HairFastConfig(),
+) -> Tuple[Array, Dict[str, Array]]:
+    """batch: (source norm256, target norm256, target_mask [B,256,256,1],
+    HT_E [B,256,256,1]); `alpha` anneals the F injection (pp_train.py:133-137)."""
+    source, target, target_mask, ht_e = batch
+
+    s, f = encoders.post_process_model(params, source, target)
+
+    _, gen_w = stylegan2.synthesis(frozen["generator"], s, cfg=cfg.stylegan)
+    f_w, _ = stylegan2.synthesis(frozen["generator"], s, start_layer=0,
+                                 end_layer=4, cfg=cfg.stylegan)
+    f_in = alpha * f + (1.0 - alpha) * jax.lax.stop_gradient(f_w)
+    _, gen_f = stylegan2.synthesis(frozen["generator"], s, start_layer=5,
+                                   end_layer=8, layer_in=f_in, cfg=cfg.stylegan)
+
+    gen_w_256 = to_res(gen_w, 256)
+    gen_f_256 = to_res(gen_f, 256)
+
+    losses = {}
+
+    # Dice over BiSeNet-16 probs at 256 (target path is stop-grad)
+    tgt512 = jnp.clip(resize((target + 1) / 2, (512, 512), "bilinear"), 0, 1)
+    seg_t = jax.lax.stop_gradient(
+        resize(_seg16_logits(frozen, tgt512), (256, 256), "nearest"))
+    seg_g = resize(_seg16_logits(frozen, (gen_f + 1) / 2), (256, 256), "nearest")
+    losses["dice"] = weights["landmark"] * dice_loss(seg_g, seg_t)
+
+    # masked identity
+    losses["id"] = weights["id"] * (
+        id_loss(frozen["id_backbone"], gen_w_256 * target_mask, source * target_mask)
+        + id_loss(frozen["id_backbone"], gen_f_256 * target_mask, source * target_mask))
+
+    # feature reconstruction (F_w detached)
+    losses["feat_rec"] = weights["feat_rec"] * feat_recon_loss(
+        jax.lax.stop_gradient(f_w), f)
+
+    # multi-scale LPIPS, face + hair regions
+    lp = frozen["lpips"]
+    losses["lpips_face"] = 0.5 * weights["lpips_scale"] * (
+        lpips_scale(lp, source * target_mask, gen_w_256 * target_mask)
+        + lpips_scale(lp, source * target_mask, gen_f_256 * target_mask))
+    losses["lpips_hair"] = 0.5 * weights["lpips_scale"] * (
+        lpips_scale(lp, target * ht_e, gen_w_256 * ht_e)
+        + lpips_scale(lp, target * ht_e, gen_f_256 * ht_e))
+
+    # inpaint region
+    if weights.get("inpaint", 0.0):
+        m_inp = (1 - target_mask) * (1 - ht_e)
+        smooth = dilated_mask(m_inp, 25)
+        losses["inpaint"] = 0.5 * weights["inpaint"] * (
+            lpips_scale(lp, target * smooth, gen_f_256 * smooth)
+            + lpips_scale(lp, jax.lax.stop_gradient(gen_w_256) * smooth * (1 - ht_e),
+                          gen_f_256 * smooth * (1 - ht_e)))
+
+    if disc_params is not None:
+        losses["adv"] = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
+
+    total = sum(losses.values())
+    return total, dict(losses, gen_f_256=jax.lax.stop_gradient(gen_f_256))
+
+
+def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:
+    loss = adv_d_loss(discriminator(disc_params, real),
+                      discriminator(disc_params, fake))
+    return loss, {"disc_adv": loss}
+
+
+def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
+                        cfg: HairFastConfig = HairFastConfig(),
+                        lr: float = 1e-4, use_adv: bool = False):
+    tx = adam_with_clip(lr)
+
+    def loss_fn(params, *batch_and_disc):
+        if use_adv:
+            *batch, disc_params, alpha = batch_and_disc
+        else:
+            *batch, alpha = batch_and_disc
+            disc_params = None
+        losses, aux = pp_loss(params, frozen, tuple(batch), weights, alpha,
+                              disc_params, cfg)
+        return losses, aux
+
+    enc_step = make_train_step(loss_fn, tx, donate=False)
+
+    disc_step = None
+    if use_adv:
+        d_tx = adam_with_clip(lr)
+        disc_step = make_train_step(
+            lambda p, real, fake: pp_disc_loss(p, real, fake), d_tx, donate=False)
+
+    def r1_step(disc_params, real):
+        return r1_penalty(lambda p, x: discriminator(p, x), disc_params, real)
+
+    return enc_step, disc_step, jax.jit(r1_step), tx

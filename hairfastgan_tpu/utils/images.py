@@ -1,0 +1,70 @@
+"""Host-side image IO and coercion (the only part of the pipeline off-device).
+
+Mirrors the input flexibility of reference hair_swap.py:76-91 (Tensor / PIL /
+ndarray / path) plus the uint8 -> [0,1] float conversion of
+datasets/image_dataset.py:5-29 and utils/image_utils.equal_replacer's
+object-identity dedup (:15-24).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Sequence, Union
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+TImage = Union[np.ndarray, "Image.Image", str, Path]
+
+
+def to_image_array(img: TImage, size: int = 1024) -> np.ndarray:
+    """Anything -> [H,W,3] float32 in [0,1] (NHWC row)."""
+    if isinstance(img, (str, Path)):
+        if Image is None:
+            raise RuntimeError("PIL required to load image paths")
+        img = Image.open(str(img)).convert("RGB")
+    if Image is not None and isinstance(img, Image.Image):
+        img = np.asarray(img)
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (1, 2, 0))  # CHW (torch) -> HWC
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    if arr.shape[:2] != (size, size):
+        if Image is None:
+            raise ValueError(f"image must be {size}x{size}, got {arr.shape}")
+        pil = Image.fromarray((arr * 255).astype(np.uint8))
+        arr = np.asarray(pil.resize((size, size), Image.LANCZOS)).astype(np.float32) / 255.0
+    return arr
+
+
+def equal_replacer(images: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Replace value-equal arrays with the SAME object so `is` fast paths fire
+    (reference utils/image_utils.py:15-24)."""
+    out: List[np.ndarray] = []
+    for img in images:
+        for prev in out:
+            if img is prev or (img.shape == prev.shape and np.allclose(img, prev)):
+                img = prev
+                break
+        out.append(img)
+    return out
+
+
+def save_image01(path: Union[str, Path], img01: np.ndarray) -> None:
+    """[H,W,3] or [1,H,W,3] float in [0,1] -> PNG."""
+    if Image is None:
+        raise RuntimeError("PIL required to save images")
+    arr = np.asarray(img01)
+    if arr.ndim == 4:
+        arr = arr[0]
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)).save(str(path))

@@ -1,0 +1,157 @@
+"""Zoo assembly: all 9 model families as one frozen parameter pytree.
+
+`init_zoo` builds a randomly-initialized zoo (tests / bench without
+checkpoints); `load_zoo` fills it from converted reference checkpoints
+(SURVEY.md §2.12 inventory) via params/convert.py. The reference
+instantiates three separate StyleGAN2 copies (Net, FSE trainer, e4e pSp —
+SURVEY.md §3.1); here there is exactly ONE generator in the tree.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hairfastgan_tpu.config import HairFastConfig
+from hairfastgan_tpu.models import bisenet, clip_vit, e4e, encoders, iresnet, sean
+from hairfastgan_tpu.models import shape_adaptor as sa
+from hairfastgan_tpu.models import stylegan2
+
+
+def init_zoo(key, cfg: HairFastConfig = HairFastConfig()) -> Dict:
+    n_latent = cfg.stylegan.n_latent
+    keys = jax.random.split(key, 10)
+    clip_params = clip_vit.init_clip_image_tower(keys[7])
+    return {
+        "generator": stylegan2.init_generator_params(keys[0], cfg.stylegan),
+        "e4e": e4e.init_e4e(keys[1], n_styles=n_latent),
+        "fse": iresnet.init_fs_encoder(keys[2], n_styles=n_latent, fs_layers=(5,)),
+        "fse_latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "bisenet": bisenet.init_bisenet(keys[3], n_classes=19),
+        "sean": sean.init_sean_generator(keys[4]),
+        "shape_adaptor": sa.init_shape_adaptor(keys[5]),
+        "rotate": encoders.init_rotate_model(keys[6]),
+        "blending": encoders.init_blending_model(keys[8], clip_params=clip_params),
+        "post_process": _init_pp(keys[9], n_latent),
+    }
+
+
+def _init_pp(key, n_latent: int):
+    p = encoders.init_post_process_model(key)
+    if n_latent != 18:
+        p["encoder_face"] = iresnet.init_fs_encoder(key, n_styles=n_latent,
+                                                    fs_layers=(9,))
+        p["latent_avg"] = jnp.zeros((n_latent, 512), jnp.float32)
+    return p
+
+
+def init_tiny_zoo(key, size: int = 128, max_channels: int = 512):
+    """Small-resolution zoo + config for CPU smoke tests.
+
+    Shrinks the generator resolution and the trunk depths; channel widths
+    stay REAL because the FS interface is structural: FSE content and
+    PostProcess F_final are 512-channel maps injected at generator pairs
+    3 and 5. The perception models keep their real geometries (input-size
+    agnostic, or fixed at 256 like SEAN / the shape adaptor).
+    """
+    import dataclasses
+
+    from hairfastgan_tpu.config import StyleGANConfig
+
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=size, max_channels=max_channels))
+    n_latent = cfg.stylegan.n_latent
+    keys = jax.random.split(key, 10)
+    clip_params = clip_vit.init_clip_image_tower(keys[7], width=64, layers=2,
+                                                 heads=2, embed_dim=512)
+    pp = {
+        "encoder_face": iresnet.init_fs_encoder(keys[9], n_styles=n_latent,
+                                                fs_layers=(9,), depth=18),
+        "latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "to_feature": iresnet.init_feature_iresnet(keys[9]),
+        "to_latent_1": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[9], 5)],
+        "to_latent_2": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[8], 5)],
+    }
+    zoo = {
+        "generator": stylegan2.init_generator_params(keys[0], cfg.stylegan),
+        "e4e": e4e.init_e4e(keys[1], n_styles=n_latent, se=False),
+        "fse": iresnet.init_fs_encoder(keys[2], n_styles=n_latent,
+                                       fs_layers=(5,), depth=18),
+        "fse_latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "bisenet": bisenet.init_bisenet(keys[3], n_classes=19),
+        "sean": sean.init_sean_generator(keys[4], ngf=16),
+        "shape_adaptor": sa.init_shape_adaptor(keys[5]),
+        "rotate": encoders.init_rotate_model(keys[6]),
+        "blending": encoders.init_blending_model(keys[8], clip_params=clip_params),
+        "post_process": pp,
+    }
+    return zoo, cfg
+
+
+def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Dict:
+    """Convert the reference's pretrained_models/ tree into a zoo pytree.
+
+    Expects the reference checkpoint layout (SURVEY.md §2.12). Every
+    converter is in params/convert.py; missing files raise with the file
+    name so partial zoos can be diagnosed.
+    """
+    import numpy as np
+
+    from hairfastgan_tpu.params import convert as C
+
+    d = Path(checkpoint_dir)
+
+    sg = C.load_torch_state_dict(str(d / "StyleGAN/ffhq.pt"))
+    import torch
+
+    raw = torch.load(str(d / "StyleGAN/ffhq.pt"), map_location="cpu", weights_only=False)
+    g_ema = {k: v.numpy() for k, v in raw["g_ema"].items()}
+    latent_avg = raw["latent_avg"].numpy()  # [512] or [18,512]
+    if latent_avg.ndim == 1:
+        latent_avg = np.tile(latent_avg[None], (cfg.stylegan.n_latent, 1))
+
+    e4e_sd = C.load_torch_state_dict(str(d / "encoder4editing/e4e_ffhq_encode.pt"))
+    e4e_enc = {k[len("encoder."):]: v for k, v in e4e_sd.items()
+               if k.startswith("encoder.")}
+    e4e_avg_raw = torch.load(str(d / "encoder4editing/e4e_ffhq_encode.pt"),
+                             map_location="cpu", weights_only=False)
+    e4e_avg = e4e_avg_raw.get("latent_avg")
+    e4e_avg = e4e_avg.numpy() if e4e_avg is not None else latent_avg
+
+    fse_sd = C.load_torch_state_dict(str(d / "FeatureStyleEncoder/143_enc.pth"))
+    fse_sd = {k[len("enc."):] if k.startswith("enc.") else k: v
+              for k, v in fse_sd.items()}
+
+    bise_sd = C.load_torch_state_dict(str(d / "BiSeNet/face_parsing_79999_iter.pth"))
+    sean_sd = C.load_torch_state_dict(
+        str(d / "sean_checkpoints/CelebA-HQ_pretrained/latest_net_G.pth"))
+    mean_codes = C.load_sean_mean_codes(str(d / "sean_mean_codes"))
+    shape_sd = C.load_torch_state_dict(str(d / "ShapeAdaptor/mask_generator.pth"))
+    rotate_sd = C.load_torch_state_dict(str(d / "Rotate/rotate_best.pth"),
+                                        key="model_state_dict")
+    blend_sd = C.load_torch_state_dict(str(d / "Blending/checkpoint.pth"),
+                                       key="model_state_dict")
+    pp_sd = C.load_torch_state_dict(str(d / "PostProcess/pp_model.pth"),
+                                    key="model_state_dict")
+    pp_avg = torch.load(str(d / "PostProcess/latent_avg.pt"),
+                        map_location="cpu").numpy()
+    clip_sd = C.load_torch_state_dict(str(d / "clip_vit_b32.pt"))
+
+    clip_params = C.convert_clip_image_tower(clip_sd)
+    zoo = {
+        "generator": C.convert_stylegan2(g_ema),
+        "e4e": C.convert_e4e(e4e_enc, latent_avg=e4e_avg),
+        "fse": C.convert_fs_encoder(fse_sd, fs_layers=(5,)),
+        "fse_latent_avg": latent_avg,
+        "bisenet": C.convert_bisenet(bise_sd, n_classes=19),
+        "sean": C.convert_sean(sean_sd, mean_codes=mean_codes),
+        "shape_adaptor": C.convert_shape_adaptor(shape_sd),
+        "rotate": C.convert_rotate(rotate_sd),
+        "blending": C.convert_blending(blend_sd, clip_params=clip_params),
+        "post_process": C.convert_post_process(pp_sd, latent_avg=pp_avg),
+    }
+    return jax.tree.map(jnp.asarray, zoo)

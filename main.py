@@ -1,0 +1,73 @@
+"""CLI runner: single triple or a batch file of triples.
+
+Mirrors reference main.py:12-80: either --face_path/--shape_path/--color_path
+for one transfer, or --file_path with lines "face shape color" relative to
+--input_dir. Adds --batch (new): group same-case triples into device batches
+for TPU throughput instead of the reference's sequential python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from hairfastgan_tpu.api import HairFast, config_from_args, get_parser
+from hairfastgan_tpu.utils.images import save_image01, to_image_array
+
+
+def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
+    hair_fast = HairFast(config_from_args(model_args))
+
+    experiments: list[tuple[Path, Path, Path]] = []
+    if args.file_path is not None:
+        with open(args.file_path) as f:
+            for line in f:
+                if line.strip():
+                    experiments.append(tuple(line.split()))
+    else:
+        experiments.append((args.face_path, args.shape_path, args.color_path))
+
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.batch > 1:
+        # TPU throughput mode: one XLA dispatch per batch of triples
+        for i in range(0, len(experiments), args.batch):
+            chunk = experiments[i:i + args.batch]
+            faces = np.stack([to_image_array(args.input_dir / f) for f, _, _ in chunk])
+            shapes = np.stack([to_image_array(args.input_dir / s) for _, s, _ in chunk])
+            colors = np.stack([to_image_array(args.input_dir / c) for _, _, c in chunk])
+            outs = hair_fast.swap_batch(faces, shapes, colors)
+            for (f, s, c), out in zip(chunk, outs):
+                name = "_".join(Path(p).stem for p in (f, s, c))
+                save_image01(args.output_dir / f"{name}.png", out)
+        return
+
+    for exp in experiments:
+        face, shape, color = (args.input_dir / p for p in exp)
+        out = hair_fast.swap(face, shape, color, benchmark=args.benchmark,
+                             exp_name="_".join(Path(p).stem for p in exp))
+        name = "_".join(Path(p).stem for p in exp)
+        save_image01(args.output_dir / f"{name}.png", out)
+
+    if args.benchmark:
+        hair_fast.bench.report()
+
+
+if __name__ == "__main__":
+    model_parser = get_parser()
+    parser = argparse.ArgumentParser(description="HairFast-TPU runner",
+                                     parents=[model_parser], add_help=False)
+    parser.add_argument("--input_dir", type=Path, default=Path(""))
+    parser.add_argument("--face_path", type=Path, default=None)
+    parser.add_argument("--shape_path", type=Path, default=None)
+    parser.add_argument("--color_path", type=Path, default=None)
+    parser.add_argument("--file_path", type=Path, default=None)
+    parser.add_argument("--output_dir", type=Path, default=Path("output"))
+    parser.add_argument("--benchmark", action="store_true")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="triples per device batch (TPU throughput mode)")
+    ns = parser.parse_args()
+    main(ns, ns)

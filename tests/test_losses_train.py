@@ -1,0 +1,135 @@
+"""Loss-kit properties + training-step smoke tests (CPU, tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hairfastgan_tpu.losses.objectives import (
+    adv_d_loss, adv_g_loss, dice_loss, dilated_mask, feat_recon_loss, r1_penalty)
+from hairfastgan_tpu.losses.perceptual import init_lpips_alex, lpips, lpips_scale
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_lpips_zero_on_identical():
+    p = init_lpips_alex(KEY)
+    x = jax.random.normal(KEY, (1, 64, 64, 3)) * 0.3
+    assert float(lpips(p, x, x)) == pytest.approx(0.0, abs=1e-6)
+    assert float(lpips(p, x, -x)) > 0.0
+
+
+def test_lpips_scale_sums_pyramid():
+    p = init_lpips_alex(KEY)
+    x = jax.random.normal(KEY, (1, 256, 256, 3)) * 0.2
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 3)) * 0.2
+    v = float(lpips_scale(p, x, y))
+    assert v > 0.0 and np.isfinite(v)
+
+
+def test_dice_loss_properties():
+    # confident identical predictions -> ~0; disagreement -> larger
+    logits = jax.random.normal(KEY, (2, 16, 16, 16)) * 20.0
+    assert float(dice_loss(logits, logits)) < 0.2
+    assert float(dice_loss(logits, -logits)) > float(dice_loss(logits, logits))
+
+
+def test_adv_losses():
+    real = jnp.ones((4, 1)) * 3
+    fake = -jnp.ones((4, 1)) * 3
+    assert float(adv_d_loss(real, fake)) < 0.1  # perfect discriminator
+    assert float(adv_g_loss(fake)) > 1.0  # generator fooled nothing
+
+
+def test_r1_penalty_positive():
+    w = jax.random.normal(KEY, (12, 1))
+
+    def disc(params, x):
+        return x.reshape(x.shape[0], -1) @ params
+
+    x = jax.random.normal(KEY, (2, 2, 3, 2))
+    v = float(r1_penalty(disc, w, x))
+    # for linear D, grad = w per-pixel -> penalty = 80 * ||w||^2
+    assert v == pytest.approx(80.0 * float(jnp.sum(w ** 2)), rel=1e-4)
+
+
+def test_dilated_mask_range():
+    m = jnp.zeros((1, 32, 32, 1)).at[:, 10:20, 10:20].set(1.0)
+    sm = dilated_mask(m, 5)
+    assert float(sm.max()) <= 1.0 + 1e-5
+    assert float(sm[0, 15, 15, 0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(sm[0, 0, 0, 0]) == 0.0
+
+
+def test_rotate_hair_step():
+    from hairfastgan_tpu.models.encoders import init_rotate_model
+    from hairfastgan_tpu.train.common import adam_with_clip, make_train_step
+    from hairfastgan_tpu.train.rotate import rotate_hair_loss
+
+    params = init_rotate_model(KEY)
+    tx = adam_with_clip(1e-4)
+    step = make_train_step(lambda p, *b: rotate_hair_loss(p, b), tx, donate=False)
+    opt_state = tx.init(params)
+    w_from = jax.random.normal(KEY, (2, 18, 512)) * 0.1
+    w_to = jax.random.normal(jax.random.PRNGKey(1), (2, 18, 512)) * 0.1
+    p1, opt_state, aux = step(params, opt_state, w_from, w_to)
+    assert np.isfinite(float(aux["loss"]))
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), params, p1)
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_blending_train_step_tiny():
+    from hairfastgan_tpu.train.blending import make_blending_train_step
+    from hairfastgan_tpu.zoo import init_tiny_zoo
+
+    zoo, cfg = init_tiny_zoo(KEY)
+    frozen = {"generator": zoo["generator"], "clip": zoo["blending"]["clip"]}
+    model_params = {"mods": zoo["blending"]["mods"]}
+    step, tx = make_blending_train_step(frozen, cfg)
+    opt_state = tx.init(model_params)
+
+    n = cfg.stylegan.n_latent
+    b = 1
+    batch = (
+        jax.random.normal(KEY, (b, n, 512)) * 0.1,         # color_s
+        jax.random.normal(KEY, (b, n, 512)) * 0.1,         # align_s
+        jax.random.normal(KEY, (b, 32, 32, 512)) * 0.1,    # align_f
+        jax.random.normal(KEY, (b, 256, 256, 3)) * 0.5,    # color_i
+        jax.random.normal(KEY, (b, 256, 256, 3)) * 0.5,    # face_i
+        jnp.ones((b, 256, 256, 1)),                        # target_mask
+        jnp.ones((b, 256, 256, 1)),                        # HM_3E
+        jnp.ones((b, 256, 256, 1)),                        # HM_XE
+    )
+    p1, opt_state, aux = step(model_params, opt_state, *batch)
+    assert np.isfinite(float(aux["loss"]))
+    assert np.isfinite(float(aux["face_loss"]))
+
+
+def test_discriminator_shapes():
+    from hairfastgan_tpu.config import StyleGANConfig
+    from hairfastgan_tpu.models.stylegan2_discriminator import (
+        discriminator, init_discriminator)
+
+    cfg = StyleGANConfig(size=64, max_channels=64)
+    p = init_discriminator(KEY, cfg)
+    img = jax.random.normal(KEY, (4, 64, 64, 3))
+    out = discriminator(p, img)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fid_stats():
+    from hairfastgan_tpu.eval.fid import FIDStats, frechet_distance
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 8)
+    b = rng.randn(500, 8) + 2.0
+    sa = FIDStats().update(a[:250]).update(a[250:])
+    sb = FIDStats().update(b)
+    mu_a, cov_a = sa.finalize()
+    assert np.allclose(mu_a, a.mean(0))
+    same = frechet_distance(*sa.finalize(), *sa.finalize())
+    diff = frechet_distance(*sa.finalize(), *sb.finalize())
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert diff > 8 * 3  # ~ ||2||^2 * dims

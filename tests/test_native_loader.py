@@ -1,0 +1,71 @@
+"""Native C++ loader: decode/resize parity vs PIL + prefetch-queue behavior."""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+from hairfastgan_tpu.data.native_loader import (
+    NativeImageLoader,
+    load_image_native,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (ext, size) in enumerate([("png", 96), ("jpg", 128), ("png", 64)]):
+        arr = rng.randint(0, 255, (size, size, 3), np.uint8)
+        p = d / f"img{i}.{ext}"
+        Image.fromarray(arr).save(str(p))
+        paths.append(str(p))
+    return paths
+
+
+def test_load_one_png_roundtrip(image_files):
+    p = image_files[0]
+    out = load_image_native(p, 96)  # same size -> exact uint8/255
+    ref = np.asarray(Image.open(p)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_load_one_resize_matches_device_resampler(image_files):
+    """C++ resize == the on-device bicubic (torch a=-0.75 formula)."""
+    import jax.numpy as jnp
+
+    from hairfastgan_tpu.ops.resample import resize
+
+    p = image_files[0]
+    out = load_image_native(p, 64)
+    src = np.asarray(Image.open(p)).astype(np.float32) / 255.0
+    ref = np.asarray(resize(jnp.asarray(src)[None], (64, 64), "bicubic"))[0]
+    np.testing.assert_allclose(out, np.clip(ref, 0, 1), atol=2e-3)
+
+
+def test_jpeg_decodes(image_files):
+    out = load_image_native(image_files[1], 128)
+    assert out.shape == (128, 128, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_prefetch_loader_completes(image_files):
+    loader = NativeImageLoader(image_files * 4, out_size=32, threads=3)
+    seen = sorted(i for i, _ in loader)
+    assert seen == list(range(12))
+    loader.close()
+
+
+def test_missing_file_skipped(image_files, tmp_path):
+    loader = NativeImageLoader([image_files[0], str(tmp_path / "nope.png")],
+                               out_size=32, threads=2)
+    with pytest.warns(UserWarning):
+        seen = [i for i, _ in loader]
+    assert seen == [0]
+    loader.close()

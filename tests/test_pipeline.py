@@ -1,0 +1,101 @@
+"""End-to-end pipeline smoke tests at tiny resolution (CPU).
+
+The reference has no e2e test; per SURVEY.md §4 we design our own: a 256^2
+generator zoo run through every pipeline stage and all four static dedup
+cases, checking shapes, value ranges and finiteness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hairfastgan_tpu.pipeline import align_images, blend_images, embed_images, hair_fast, swap_cases
+from hairfastgan_tpu.zoo import init_tiny_zoo
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    zoo, cfg = init_tiny_zoo(KEY)
+    return zoo, cfg
+
+
+@pytest.fixture(scope="module")
+def images():
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    size = 128
+    return (jax.random.uniform(k1, (1, size, size, 3)),
+            jax.random.uniform(k2, (1, size, size, 3)),
+            jax.random.uniform(k3, (1, size, size, 3)))
+
+
+def test_embed_contract(tiny, images):
+    zoo, cfg = tiny
+    face, _, _ = images
+    emb = embed_images(zoo, face, mix=False, cfg=cfg)
+    n_latent = cfg.stylegan.n_latent
+    assert emb["W"].shape == (1, n_latent, 512)
+    assert emb["S"].shape == (1, n_latent, 512)
+    assert emb["F"].shape == (1, 32, 32, 512)
+    # the 256/512 working spaces are absolute, independent of generator size
+    assert emb["mask"].shape == (1, 256, 256)
+    assert emb["image_256"].shape == (1, 256, 256, 3)
+    for v in emb.values():
+        assert np.isfinite(np.asarray(v, dtype=np.float32)).all()
+
+
+def test_embed_mixing_changes_F_only_in_hair(tiny, images):
+    zoo, cfg = tiny
+    face, _, _ = images
+    e0 = embed_images(zoo, face, mix=False, cfg=cfg)
+    e1 = embed_images(zoo, face, mix=True, cfg=cfg)
+    # mixing is a lerp toward F_W inside (bicubic-resized) hair mask only
+    assert e0["F"].shape == e1["F"].shape
+    np.testing.assert_allclose(np.asarray(e0["S"]), np.asarray(e1["S"]))
+
+
+def test_align_same_fast_path(tiny, images):
+    zoo, cfg = tiny
+    face, _, _ = images
+    emb = embed_images(zoo, face, mix=False, cfg=cfg)
+    out = align_images(zoo, emb, emb, same=True, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out["latent_F_align"]),
+                               np.asarray(emb["F"]))
+    assert out["HM_X"].shape == (1, 256, 256, 1)
+
+
+# 'distinct' exercises every stage; 'same' covers the reconstruction fast
+# paths. The two remaining cases are structural subsets of these (kept out of
+# CI to bound CPU compile time; the multichip dryrun covers 'distinct' too).
+@pytest.mark.parametrize("case", ["same", "distinct"])
+def test_hair_fast_cases(tiny, images, case):
+    zoo, cfg = tiny
+    face, shape, color = images
+    if case == "same":
+        shape = color = face
+    out = hair_fast(zoo, face, shape, color, case=case, cfg=cfg)
+    assert out.shape == (1, 128, 128, 3)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_swap_cases_dispatch(images):
+    face, shape, color = images
+    assert swap_cases(face, shape, color) == "distinct"
+    assert swap_cases(face, face, face) == "same"
+    assert swap_cases(face, shape, shape) == "shape_eq_color"
+    assert swap_cases(face, face, color) == "face_eq_shape"
+
+
+def test_embed_batched_independent(tiny, images):
+    """Batch rows don't interact (BN uses running stats, no cross-batch ops)."""
+    zoo, cfg = tiny
+    face, shape, _ = images
+    both = jnp.concatenate([face, shape], axis=0)
+    e2 = embed_images(zoo, both, mix=False, cfg=cfg)
+    e1 = embed_images(zoo, face, mix=False, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(e2["S"][:1]), np.asarray(e1["S"]),
+                               atol=2e-4)
