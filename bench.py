@@ -22,15 +22,13 @@ import jax.numpy as jnp
 
 from hairfastgan_tpu.config import HairFastConfig
 from hairfastgan_tpu.pipeline import hair_fast
-from hairfastgan_tpu.zoo import init_zoo
+from hairfastgan_tpu.zoo import init_zoo_fast
 
 
 def main():
     cfg = HairFastConfig()
-    # init params on host CPU (fast path), one bulk transfer to the chip
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        zoo = init_zoo(jax.random.PRNGKey(0), cfg)
-    zoo = jax.device_put(zoo)
+    # numpy shape-based init (seconds), one bulk transfer to the chip
+    zoo = jax.device_put(init_zoo_fast(0, cfg))
 
     n_iters = 10
     size = cfg.stylegan.size

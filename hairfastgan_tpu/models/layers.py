@@ -35,7 +35,9 @@ Array = jax.Array
 
 def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, scale: float = None):
     if scale is None:
-        scale = 1.0 / jnp.sqrt(in_dim).item() if in_dim > 0 else 1.0
+        import math
+
+        scale = 1.0 / math.sqrt(in_dim) if in_dim > 0 else 1.0
     p = {"w": jax.random.normal(key, (in_dim, out_dim), jnp.float32) * scale}
     if bias:
         p["b"] = jnp.zeros((out_dim,), jnp.float32)

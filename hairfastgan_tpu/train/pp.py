@@ -142,7 +142,7 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
 
     enc_step = make_train_step(loss_fn, tx, donate=False)
 
-    disc_step = None
+    disc_step = d_tx = None
     if use_adv:
         d_tx = adam_with_clip(lr)
         disc_step = make_train_step(
@@ -151,4 +151,4 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
     def r1_step(disc_params, real):
         return r1_penalty(lambda p, x: discriminator(p, x), disc_params, real)
 
-    return enc_step, disc_step, jax.jit(r1_step), tx
+    return enc_step, disc_step, jax.jit(r1_step), tx, d_tx

@@ -1,0 +1,46 @@
+"""Intermediate-artifact dumps for debugging (`save_all` mode).
+
+Mirrors reference utils/save_utils.py:12-38: per-stage generated images,
+mask visualizations (CtrlHair color table), and latent npz bundles under
+save_all_dir/<exp>/<stage>/.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from hairfastgan_tpu.utils.images import save_image01
+
+# CtrlHair PARSING_COLOR_LIST (global_value_utils.py) — 19 classes + unknown
+PARSING_COLORS = np.array([
+    [0, 0, 0], [204, 0, 0], [76, 153, 0], [204, 204, 0], [51, 51, 255],
+    [204, 0, 204], [0, 255, 255], [255, 204, 204], [102, 51, 0], [255, 0, 0],
+    [102, 204, 0], [255, 255, 0], [0, 0, 153], [0, 0, 204], [255, 51, 153],
+    [0, 204, 204], [0, 51, 0], [255, 153, 51], [0, 204, 0], [255, 255, 255],
+], np.uint8)
+
+
+def save_gen_image(out_dir: Path, stage: str, name: str, img) -> None:
+    """[-1,1] NHWC/HWC image -> PNG (reference save_gen_image)."""
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    save_image01(Path(out_dir) / stage / name, (arr + 1.0) / 2.0)
+
+
+def save_vis_mask(out_dir: Path, stage: str, name: str, labels) -> None:
+    """int label mask -> color PNG via the CtrlHair palette (mask_to_rgb)."""
+    lab = np.asarray(labels)
+    while lab.ndim > 2:
+        lab = lab[0]
+    rgb = PARSING_COLORS[np.clip(lab, 0, len(PARSING_COLORS) - 1)]
+    save_image01(Path(out_dir) / stage / name, rgb.astype(np.float32) / 255.0)
+
+
+def save_latents(out_dir: Path, stage: str, name: str, **latents) -> None:
+    path = Path(out_dir) / stage / name
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in latents.items()})

@@ -92,6 +92,28 @@ def init_tiny_zoo(key, size: int = 128, max_channels: int = 512):
     return zoo, cfg
 
 
+def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict:
+    """Shape-correct random zoo via eval_shape + numpy (seconds, not minutes).
+
+    `init_zoo` threads jax.random keys per leaf — correct for training
+    inits but slow for a ~2 GB tree on one host core. Benchmarks only need
+    the right shapes/dtypes and sane magnitudes; this generates every leaf
+    with numpy in one pass.
+    """
+    import numpy as np
+
+    shapes = jax.eval_shape(lambda: init_zoo(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(seed)
+
+    def make(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return (rng.standard_normal(leaf.shape, dtype=np.float32) * 0.05
+                    ).astype(leaf.dtype)
+        return np.zeros(leaf.shape, leaf.dtype)
+
+    return jax.tree.map(make, shapes)
+
+
 def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Dict:
     """Convert the reference's pretrained_models/ tree into a zoo pytree.
 

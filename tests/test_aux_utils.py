@@ -1,0 +1,97 @@
+"""Tests: Poisson blending, P-space PCA, save_utils, orbax checkpointing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_poisson_blend_flat_regions():
+    from hairfastgan_tpu.ops.poisson import poisson_blend_multigrid
+
+    dst = jnp.ones((1, 64, 64, 3)) * 0.8
+    src = jnp.ones((1, 64, 64, 3)) * 0.2
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, 20:44, 20:44].set(1.0)
+    out = poisson_blend_multigrid(src, dst, mask, n_iters=100, levels=4)
+    # flat source gradients -> harmonic fill of the boundary value
+    assert float(out[0, 32, 32, 0]) == pytest.approx(0.8, abs=0.02)
+    assert float(out[0, 0, 0, 0]) == pytest.approx(0.8, abs=1e-6)
+
+
+def test_poisson_preserves_src_laplacian():
+    """The defining property: lap(out) == lap(src) strictly inside the mask."""
+    from hairfastgan_tpu.ops.poisson import _lap, poisson_blend
+
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, 64), jnp.linspace(-1, 1, 64),
+                          indexing="ij")
+    bump = jnp.exp(-(xx ** 2 + yy ** 2) * 12.0)
+    src = jnp.tile(bump[None, :, :, None], (1, 1, 1, 3)) * 0.5
+    dst = jnp.ones((1, 64, 64, 3)) * 0.5
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, 16:48, 16:48].set(1.0)
+    out = poisson_blend(src, dst, mask, n_iters=3000)
+    lap_out = np.asarray(_lap(out))[0, 20:44, 20:44]
+    lap_src = np.asarray(_lap(src))[0, 20:44, 20:44]
+    np.testing.assert_allclose(lap_out, lap_src, atol=2e-3)
+
+
+def test_pspace_pca_and_pnorm():
+    from hairfastgan_tpu.config import StyleGANConfig
+    from hairfastgan_tpu.models import stylegan2
+    from hairfastgan_tpu.pspace import build_pca_model, p_norm_loss
+
+    cfg = StyleGANConfig(size=32, max_channels=32)
+    params = stylegan2.init_generator_params(KEY, cfg)
+    model = build_pca_model(params, None, n_samples=4096, batch=1024, cfg=cfg)
+    assert model["X_comp"].shape == (512, 512)
+    pca = {k: jnp.asarray(v) for k, v in model.items() if k != "X_var_ratio"}
+
+    w = stylegan2.mapping(params, jax.random.normal(KEY, (4, 512)), cfg)
+    lat = stylegan2.latent_to_wplus(w, cfg.n_latent)
+    v = float(p_norm_loss(pca, lat))
+    assert np.isfinite(v) and v > 0
+    # whitened in-distribution samples have ~unit per-component variance
+    assert 0.05 < v < 20.0
+
+
+def test_save_utils(tmp_path):
+    from hairfastgan_tpu.utils.save_utils import (
+        save_gen_image, save_latents, save_vis_mask)
+
+    img = jnp.zeros((1, 16, 16, 3))
+    save_gen_image(tmp_path, "Stage", "a.png", img)
+    save_vis_mask(tmp_path, "Stage", "m.png", jnp.ones((1, 16, 16), jnp.int32) * 13)
+    save_latents(tmp_path, "Stage", "l.npz", W=jnp.ones((1, 18, 512)))
+    assert (tmp_path / "Stage" / "a.png").exists()
+    assert (tmp_path / "Stage" / "m.png").exists()
+    z = np.load(tmp_path / "Stage" / "l.npz")
+    assert z["W"].shape == (1, 18, 512)
+
+
+def test_orbax_roundtrip(tmp_path):
+    from hairfastgan_tpu.params.checkpoint import restore_pytree, save_pytree
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": [jnp.ones((4,))],
+            "c": {"d": jnp.zeros((2, 2))}}
+    save_pytree(tmp_path / "ckpt", tree)
+    back = restore_pytree(tmp_path / "ckpt")
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(np.asarray(x),
+                                                         np.asarray(y)),
+                 tree, back)
+
+
+def test_train_state_roundtrip(tmp_path):
+    import optax
+
+    from hairfastgan_tpu.params.checkpoint import (
+        restore_train_state, save_train_state)
+
+    params = {"w": jnp.ones((3, 3)), "clip": {"frozen": jnp.zeros((2,))}}
+    tx = optax.adam(1e-4)
+    opt = tx.init({"w": params["w"]})
+    save_train_state(tmp_path / "ts", params, opt, step=7)
+    st = restore_train_state(tmp_path / "ts")
+    assert int(st["step"]) == 7
+    assert "clip" not in st["params"]  # frozen tower stripped like reference
+    np.testing.assert_allclose(np.asarray(st["params"]["w"]), 1.0)

@@ -1,0 +1,89 @@
+"""Mesh-of-1 vs mesh-of-N equivalence (SURVEY.md §4 test strategy).
+
+Runs under the 8-virtual-CPU-device conftest: the same computation sharded
+over the data axis must match the unsharded result, proving the sharding
+layer changes placement, never math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hairfastgan_tpu.config import StyleGANConfig
+from hairfastgan_tpu.models import stylegan2
+from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch, shard_params_model_axis
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    cfg = StyleGANConfig(size=32, max_channels=64)
+    params = stylegan2.init_generator_params(KEY, cfg)
+    return params, cfg
+
+
+def _render(params, z, cfg):
+    w = stylegan2.mapping(params, z, cfg)
+    lat = stylegan2.latent_to_wplus(w, cfg.n_latent)
+    return stylegan2.generate(params, lat, cfg=cfg)
+
+
+def test_data_sharded_matches_single(tiny_gen):
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    z = jax.random.normal(KEY, (8, cfg.style_dim))
+
+    ref = np.asarray(jax.jit(lambda p, z: _render(p, z, cfg))(params, z))
+
+    plan = make_mesh(n_data=len(jax.devices()))
+    p_r = replicate(plan, params)
+    z_s = shard_batch(plan, z)
+    with plan.mesh:
+        out = jax.jit(lambda p, z: _render(p, z, cfg))(p_r, z_s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_model_axis_matches_single(tiny_gen):
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    z = jax.random.normal(KEY, (4, cfg.style_dim))
+    ref = np.asarray(jax.jit(lambda p, z: _render(p, z, cfg))(params, z))
+
+    plan = make_mesh(n_data=len(jax.devices()) // 2, n_model=2)
+    p_s = shard_params_model_axis(plan, params)
+    z_s = shard_batch(plan, z)
+    with plan.mesh:
+        out = jax.jit(lambda p, z: _render(p, z, cfg))(p_s, z_s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_train_step_gradients_match(tiny_gen):
+    """DP-sharded grad step == single-device grad step (psum correctness)."""
+    import optax
+
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+
+    z = jax.random.normal(KEY, (8, cfg.style_dim))
+    target = jax.random.normal(jax.random.PRNGKey(1), (8, cfg.size, cfg.size, 3))
+
+    def loss(p, z, t):
+        return jnp.mean((_render(p, z, cfg) - t) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(params, z, target)
+
+    plan = make_mesh(n_data=len(jax.devices()))
+    p_r = replicate(plan, params)
+    z_s, t_s = shard_batch(plan, (z, target))
+    with plan.mesh:
+        g_sh = jax.jit(jax.grad(loss))(p_r, z_s, t_s)
+
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_sh = jax.tree.leaves(g_sh)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
