@@ -69,6 +69,21 @@ def fid_from_features(real: Iterable[Array], fake: Iterable[Array]) -> float:
     return frechet_distance(*sr.finalize(), *sf.finalize())
 
 
+def inception_feature_fn(inception_params):
+    """images01 [B,H,W,3] -> pool3 features [B,2048] (classic FID;
+    weights convert from torchvision via models/inception.convert_inception)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hairfastgan_tpu.models.inception import inception_features
+
+    @jax.jit
+    def fn(images01):
+        return inception_features(inception_params, images01)
+
+    return lambda x: np.asarray(fn(jnp.asarray(x)))
+
+
 def clip_feature_fn(clip_params):
     """images01 [B,H,W,3] -> CLIP embeddings [B,512] (the FID-CLIP feature
     net; reference ClipModel normalizes [0,1] directly, Encoders.py:153-160)."""

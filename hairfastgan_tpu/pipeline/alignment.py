@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from hairfastgan_tpu.config import HairFastConfig
 from hairfastgan_tpu.models import bisenet, encoders, sean, shape_adaptor, stylegan2
-from hairfastgan_tpu.ops.morphology import dilate_erode
+from hairfastgan_tpu.ops.pallas_morphology import dilate_erode_auto as dilate_erode
 from hairfastgan_tpu.ops.resample import resize
 from hairfastgan_tpu.pipeline.embedding import e4e_embed
 

@@ -57,11 +57,19 @@ def main():
     frozen = {"generator": zoo["generator"], "arcface": init_irse_backbone(key)}
     params = zoo["rotate"]
 
-    # keypoints come precomputed in the dataset; the train-step keypoint_fn
-    # passes them through (kp MSE computed against the dataset column means
-    # the generated image's keypoints must be provided by an extractor —
-    # identity here trains on latent + id losses only when no extractor).
-    keypoint_fn = lambda img: jnp.zeros((img.shape[0], 76, 2), img.dtype)
+    # STAR landmark extractor (models/star.py) when its checkpoint is
+    # available; otherwise a zero extractor (trains on latent + id losses;
+    # the reference's own rotate training is broken without STAR weights).
+    star_ckpt = args.zoo_dir / "star_wflw.pth"
+    if star_ckpt.exists():
+        from hairfastgan_tpu.models import star
+        from hairfastgan_tpu.params.convert import load_torch_state_dict
+
+        star_p = jax.device_put(
+            star.convert_star(load_torch_state_dict(str(star_ckpt), key="net")))
+        keypoint_fn = lambda img: star.keypoints_256(star_p, img)
+    else:
+        keypoint_fn = lambda img: jnp.zeros((img.shape[0], 76, 2), img.dtype)
 
     plan = make_mesh()
     frozen = replicate(plan, frozen)

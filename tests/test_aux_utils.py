@@ -95,3 +95,27 @@ def test_train_state_roundtrip(tmp_path):
     assert int(st["step"]) == 7
     assert "clip" not in st["params"]  # frozen tower stripped like reference
     np.testing.assert_allclose(np.asarray(st["params"]["w"]), 1.0)
+
+
+def test_inception_channel_progression():
+    """InceptionV3 feature extractor: block output channels match the
+    canonical torchvision progression and the FID head is 2048-d."""
+    from hairfastgan_tpu.models.inception import (
+        _inception_a, _inception_b, _inception_c, _inception_d, _inception_e,
+        init_inception, inception_features)
+
+    p = init_inception(KEY)
+    x = jax.random.uniform(KEY, (1, 96, 96, 3))
+    f = inception_features(p, x)
+    assert f.shape == (1, 2048)
+
+    a_out = _inception_a(p["a1"], jax.random.normal(KEY, (1, 8, 8, 192)))
+    assert a_out.shape[-1] == 256  # 64+64+96+32
+    b_out = _inception_b(p["b"], jax.random.normal(KEY, (1, 9, 9, 288)))
+    assert b_out.shape[-1] == 768  # 384+96+288
+    c_out = _inception_c(p["c1"], jax.random.normal(KEY, (1, 8, 8, 768)))
+    assert c_out.shape[-1] == 768  # 192*4
+    d_out = _inception_d(p["d"], jax.random.normal(KEY, (1, 9, 9, 768)))
+    assert d_out.shape[-1] == 1280  # 320+192+768
+    e_out = _inception_e(p["e1"], jax.random.normal(KEY, (1, 8, 8, 1280)))
+    assert e_out.shape[-1] == 2048  # 320+768+768+192

@@ -166,3 +166,28 @@ def test_post_process_model():
     s, f = encoders.post_process_model(p, src, tgt)
     assert s.shape == (1, 18, 512)
     assert f.shape == (1, 64, 64, 512)
+
+
+def test_star_landmarks_tiny():
+    """StackedHGNetV1 contract: soft-argmax landmarks in [-1,1] at any scale."""
+    from hairfastgan_tpu.models import star
+
+    edge_info = ((True, (0, 1, 2)), (False, (3, 4)))
+    p = star.init_star(KEY, classes=(5, 2, 5), edge_info=edge_info,
+                       nstack=2, nlevels=2, channels=16)
+    img = jax.random.normal(KEY, (1, 64, 64, 3)) * 0.5
+    lm = star.star_landmarks(p, img)
+    assert lm.shape == (1, 5, 2)
+    a = np.asarray(lm)
+    assert np.isfinite(a).all()
+    assert (a >= -1.0).all() and (a <= 1.0).all()
+
+
+def test_star_e2h_matrix():
+    from hairfastgan_tpu.models.star import WFLW_CLASSES, WFLW_EDGE_INFO, _e2h_matrix
+
+    w, b = _e2h_matrix(WFLW_EDGE_INFO, WFLW_CLASSES[2], WFLW_CLASSES[1])
+    assert w.shape == (98, 9)
+    # points 96, 97 (pupils) belong to no edge -> bias keeps their heatmaps
+    assert b[96] == 1.0 and b[97] == 1.0
+    assert b[:96].sum() == 0
