@@ -45,8 +45,9 @@ class HairFast:
         self._jitted: Dict[str, callable] = {}
         self.bench = BenchSession("swap")
 
-    def _fn(self, case: str):
-        if case not in self._jitted:
+    def _fn(self, case: str, debug: bool = False):
+        key = (case, debug)
+        if key not in self._jitted:
             cfg = self.cfg
 
             @partial(jax.jit, static_argnames=())
@@ -54,11 +55,14 @@ class HairFast:
                 out = hair_fast(zoo, face, shape, color, case=case, cfg=cfg,
                                 dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                                 else jnp.float32,
-                                noise_key=noise_key)
-                return out, jnp.sum(out[:, 0, 0, 0])  # scalar sync probe
+                                noise_key=noise_key,
+                                return_intermediate=debug)
+                final = out[0] if debug else out
+                probe = jnp.sum(final[:, 0, 0, 0])  # scalar sync probe
+                return out, probe
 
-            self._jitted[case] = fn
-        return self._jitted[case]
+            self._jitted[key] = fn
+        return self._jitted[key]
 
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
@@ -76,7 +80,8 @@ class HairFast:
 
         face, shape, color = (jnp.asarray(im)[None] for im in imgs)
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
-        fn = self._fn(case)
+        debug = self.cfg.save_all and exp_name is not None
+        fn = self._fn(case, debug=debug)
 
         if benchmark:
             self.bench.start()
@@ -84,10 +89,29 @@ class HairFast:
         if benchmark:
             self.bench.lap(np.asarray(probe))
 
-        result = np.asarray(out[0], dtype=np.float32)
-        if self.cfg.save_all and exp_name is not None:
-            save_image01(Path(self.cfg.save_all_dir) / exp_name / "final.png", result)
-        return result
+        if debug:
+            final, inter = out
+            self._dump_intermediates(exp_name, np.asarray(final[0]), inter)
+            return np.asarray(final[0], dtype=np.float32)
+        return np.asarray(out[0], dtype=np.float32)
+
+    def _dump_intermediates(self, exp_name: str, final: np.ndarray, inter: Dict):
+        """save_all artifact dumps (reference utils/save_utils.py usage)."""
+        from hairfastgan_tpu.utils.save_utils import (
+            save_gen_image, save_latents, save_vis_mask)
+
+        out = Path(self.cfg.save_all_dir) / exp_name
+        save_image01(out / "Final" / "final.png", final)
+        save_gen_image(out, "Blending", "blending.png", inter["I_blend"])
+        for name in ("mask_face", "mask_shape", "mask_color"):
+            save_vis_mask(out, "Shape", f"{name}.png", inter[name])
+        save_latents(out, "FS", "face.npz", latent_S=inter["S_face"],
+                     latent_F=inter["F_face"], latent_W=inter["W_face"])
+        save_latents(out, "Align", "align.npz",
+                     latent_F_align=inter["latent_F_align"])
+        save_latents(out, "Blending", "blending.npz", S_blend=inter["S_blend"])
+        save_latents(out, "Final", "final.npz", S_final=inter["S_final"],
+                     F_final=inter["F_final"])
 
     __call__ = swap
 

@@ -58,7 +58,10 @@ def dilate_erode_pallas(mask: Array, iterations: int = 5,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    x = mask[..., 0]
+    # Mosaic rejects the (1, H, W) bf16 block layout; masks are binary so
+    # f32 compute is exact — cast in, cast back out.
+    in_dtype = mask.dtype
+    x = mask[..., 0].astype(jnp.float32)
     b, h, w = x.shape
     kern = functools.partial(_kernel, iterations=iterations)
     dil, ero = pl.pallas_call(
@@ -78,13 +81,19 @@ def dilate_erode_pallas(mask: Array, iterations: int = 5,
         ),
         interpret=interpret,
     )(x)
-    return dil[..., None], ero[..., None]
+    return dil[..., None].astype(in_dtype), ero[..., None].astype(in_dtype)
 
 
 def dilate_erode_auto(mask: Array, iterations: int = 5) -> Tuple[Array, Array]:
-    """Pallas on TPU backends, XLA scan elsewhere."""
+    """Dispatch to the XLA scan implementation.
+
+    MEASURED (v5e, round 1): standalone the Pallas kernel matches the XLA
+    scan (both dispatch-latency-bound at 256^2), but INSIDE the fused
+    full-swap program it regressed end-to-end p50 from 116 ms to 2.2 s —
+    pallas_call boundaries block XLA's cross-op fusion/scheduling around
+    the call sites. The kernel stays available (`dilate_erode_pallas`) and
+    parity-tested for future Mosaic revisions; the production path is XLA.
+    """
     from hairfastgan_tpu.ops.morphology import dilate_erode
 
-    if jax.default_backend() in ("tpu", "axon"):
-        return dilate_erode_pallas(mask, iterations)
     return dilate_erode(mask, iterations)

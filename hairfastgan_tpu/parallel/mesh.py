@@ -45,6 +45,18 @@ class MeshPlan:
     def spec_batch(self, ndim: int = 4) -> P:
         return P("data", *([None] * (ndim - 1)))
 
+    def spatial(self) -> NamedSharding:
+        """Shard the H axis of NHWC activations over the model axis.
+
+        The image analog of context parallelism (SURVEY.md §5.7): for
+        >=512^2 conv layers whose activations exceed per-chip HBM, XLA's
+        SPMD partitioner inserts halo exchanges over ICI for the 3x3 convs.
+        Apply via jax.lax.with_sharding_constraint on feature maps / the
+        render output.
+        """
+        axis = self.model_axis or self.data_axis
+        return NamedSharding(self.mesh, P(None, axis, None, None))
+
 
 def make_mesh(
     n_data: Optional[int] = None,

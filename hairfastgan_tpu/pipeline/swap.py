@@ -54,8 +54,14 @@ def hair_fast(
     cfg: HairFastConfig = HairFastConfig(),
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
-) -> Array:
-    """One batched hair transfer -> [B,1024,1024,3] in [0,1]."""
+    return_intermediate: bool = False,
+):
+    """One batched hair transfer -> [B,1024,1024,3] in [0,1].
+
+    return_intermediate=True additionally returns the per-stage artifacts
+    the reference dumps under save_all (Embedding.py:103-116,
+    Alignment.py:85-93,161-179, Blending.py:71-78).
+    """
     if case not in CASES:
         raise ValueError(f"case must be one of {CASES}, got {case!r}")
     b = face.shape[0]
@@ -98,6 +104,19 @@ def hair_fast(
             noise_key=keys[1])
 
     # Blending + PostProcess
-    return blend_images(
+    out = blend_images(
         zoo, align_shape, align_color, e_face, e_color,
-        all_same=(case == "same"), cfg=cfg, dtype=dtype, noise_key=keys[2])
+        all_same=(case == "same"), cfg=cfg, dtype=dtype, noise_key=keys[2],
+        return_intermediate=return_intermediate)
+    if not return_intermediate:
+        return out
+    final, blend_inter = out
+    inter = {
+        "W_face": e_face["W"], "S_face": e_face["S"], "F_face": e_face["F"],
+        "mask_face": e_face["mask"], "mask_shape": e_shape["mask"],
+        "mask_color": e_color["mask"],
+        "latent_F_align": align_shape["latent_F_align"],
+        "HM_X": align_color["HM_X"],
+        **blend_inter,
+    }
+    return final, inter

@@ -73,6 +73,16 @@ class MovingAverageLoss:
         return w
 
 
+def check_finite_loss(loss, step: int) -> None:
+    """NaN guard: raise instead of training on garbage (the reference's
+    shape-branch solver raises on NaN loss, solver.py:151-156)."""
+    import numpy as np
+
+    v = float(np.asarray(loss))
+    if not np.isfinite(v):
+        raise FloatingPointError(f"non-finite loss {v} at step {step}")
+
+
 class MetricLogger:
     """Minimal metric logger: running scalars + optional jsonl file.
 

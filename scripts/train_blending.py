@@ -52,7 +52,7 @@ def main():
     from hairfastgan_tpu.params.checkpoint import save_train_state
     from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
     from hairfastgan_tpu.train.blending import make_blending_train_step, blending_loss
-    from hairfastgan_tpu.train.common import MetricLogger
+    from hairfastgan_tpu.train.common import MetricLogger, check_finite_loss
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
     cfg = HairFastConfig()
@@ -83,6 +83,7 @@ def main():
                 params, opt_state, aux = step(params, opt_state, *batch)
                 logger.log(loss=aux["loss"], face=aux["face_loss"],
                            hair=aux["hair_loss"], grad=aux["grad_norm"])
+                check_finite_loss(aux["loss"], logger.step)
 
             vls = [float(val_loss(params, *shard_batch(plan, b)))
                    for b in batches(test_rows, args.batch_size, shuffle=False)]

@@ -42,6 +42,9 @@ def main():
                     help="steps before the adversarial term kicks in")
     ap.add_argument("--d_reg_every", type=int, default=16)
     ap.add_argument("--alpha_rate", type=float, default=1e-4)
+    ap.add_argument("--resume", type=Path, default=None,
+                    help="orbax train-state dir to resume from (restores "
+                         "params/opt_state/step like pp_train.py:114-119)")
     ap.add_argument("--log", type=Path, default=Path("pp_train.jsonl"))
     args = ap.parse_args()
 
@@ -52,7 +55,7 @@ def main():
     from hairfastgan_tpu.models.stylegan2_discriminator import init_discriminator
     from hairfastgan_tpu.params.checkpoint import save_train_state
     from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
-    from hairfastgan_tpu.train.common import MetricLogger
+    from hairfastgan_tpu.train.common import MetricLogger, check_finite_loss
     from hairfastgan_tpu.train.pp import make_pp_train_steps
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
@@ -88,6 +91,17 @@ def main():
     logger = MetricLogger(str(args.log))
     step_i = 0
 
+    if args.resume is not None:
+        from hairfastgan_tpu.params.checkpoint import restore_train_state
+
+        state = restore_train_state(args.resume)
+        params = jax.tree.map(jnp.asarray, state["params"])
+        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        step_i = int(state["step"])
+        if args.use_adv and "disc" in state:
+            disc_params = jax.tree.map(jnp.asarray, state["disc"])
+        print(f"resumed from {args.resume} at step {step_i}")
+
     with plan.mesh:
         for epoch in range(args.epochs):
             for batch in batches(rows, args.batch_size, seed=epoch):
@@ -101,6 +115,7 @@ def main():
                                                       *batch, alpha)
                 scalars = {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
                 logger.log(**scalars)
+                check_finite_loss(aux["loss"], step_i)
 
                 if args.use_adv and step_i >= args.iter_before and disc_step:
                     real = batch[1]  # target images stand in for reals

@@ -46,7 +46,7 @@ def main():
     from hairfastgan_tpu.losses.identity import init_irse_backbone
     from hairfastgan_tpu.params.checkpoint import save_train_state
     from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
-    from hairfastgan_tpu.train.common import MetricLogger, MovingAverageLoss
+    from hairfastgan_tpu.train.common import MetricLogger, MovingAverageLoss, check_finite_loss
     from hairfastgan_tpu.train.rotate import make_rotate_train_steps
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
@@ -93,6 +93,7 @@ def main():
                 params, opt_state, aux = pose_step(
                     params, opt_state, *shard_batch(plan, pose_b))
                 logger.log(**{k: v for k, v in aux.items() if jnp.ndim(v) == 0})
+                check_finite_loss(aux["loss"], logger.step)
                 params, opt_state, aux = hair_step(
                     params, opt_state, *shard_batch(plan, hair_b))
                 logger.log(**{k: v for k, v in aux.items() if jnp.ndim(v) == 0})

@@ -1,0 +1,61 @@
+"""HairFast API surface tests (tiny zoo, CPU)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from hairfastgan_tpu.api import HairFast, config_from_args, get_parser
+from hairfastgan_tpu.zoo import init_tiny_zoo
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def hf(tmp_path_factory):
+    zoo, cfg = init_tiny_zoo(KEY)
+    cfg = dataclasses.replace(cfg, save_all=True,
+                              save_all_dir=tmp_path_factory.mktemp("out"),
+                              compute_dtype="float32")
+    return HairFast(cfg, zoo=zoo)
+
+
+def test_parser_defaults():
+    args = get_parser().parse_args([])
+    cfg = config_from_args(args)
+    assert cfg.stylegan.size == 1024
+    assert cfg.mixing == 0.95 and cfg.smooth == 5
+    assert cfg.batch_size == 3
+
+
+def test_swap_accepts_arrays_and_dedups(hf):
+    rng = np.random.RandomState(0)
+    size = hf.cfg.stylegan.size
+    face = rng.rand(size, size, 3).astype(np.float32)
+    out = hf.swap(face, face.copy(), face.copy())  # value-equal -> 'same' case
+    assert out.shape == (size, size, 3)
+    assert np.isfinite(out).all()
+    assert ("same", False) in [k for k in hf._jitted] or \
+           ("same", True) in [k for k in hf._jitted]
+
+
+def test_swap_save_all_dumps(hf):
+    rng = np.random.RandomState(1)
+    size = hf.cfg.stylegan.size
+    imgs = [rng.rand(size, size, 3).astype(np.float32) for _ in range(3)]
+    out = hf.swap(*imgs, exp_name="exp0")
+    d = hf.cfg.save_all_dir / "exp0"
+    assert (d / "Final" / "final.png").exists()
+    assert (d / "Blending" / "blending.png").exists()
+    assert (d / "FS" / "face.npz").exists()
+    z = np.load(d / "Align" / "align.npz")
+    assert z["latent_F_align"].shape[-1] == 512
+
+
+def test_swap_uint8_chw_coercion(hf):
+    rng = np.random.RandomState(2)
+    size = hf.cfg.stylegan.size
+    chw = rng.randint(0, 255, (3, size, size), dtype=np.uint8)
+    out = hf.swap(chw, chw, chw)
+    assert out.shape == (size, size, 3)

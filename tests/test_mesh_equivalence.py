@@ -87,3 +87,22 @@ def test_train_step_gradients_match(tiny_gen):
     flat_sh = jax.tree.leaves(g_sh)
     for a, b in zip(flat_ref, flat_sh):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+def test_spatial_sharding_matches_single(tiny_gen):
+    """H-axis (spatial) sharding of the synthesis output: XLA partitions the
+    conv stack with halo exchanges; result must equal the unsharded render."""
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    z = jax.random.normal(KEY, (2, cfg.style_dim))
+    ref = np.asarray(jax.jit(lambda p, z: _render(p, z, cfg))(params, z))
+
+    plan = make_mesh(n_data=len(jax.devices()))
+    p_r = replicate(plan, params)
+    z_r = replicate(plan, z)
+    with plan.mesh:
+        fn = jax.jit(lambda p, z: _render(p, z, cfg),
+                     out_shardings=plan.spatial())
+        out = fn(p_r, z_r)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
