@@ -116,10 +116,25 @@ class HairFast:
     __call__ = swap
 
     def swap_batch(self, faces, shapes, colors, case: str = "distinct") -> np.ndarray:
-        """Batched triples [B,H,W,3] -> [B,H,W,3]; the TPU throughput path."""
+        """Batched triples [B,H,W,3] -> [B,H,W,3]; the TPU throughput path.
+
+        On a multi-chip host the batch is sharded over a 1-D data mesh
+        (each chip runs B/n transfers; XLA inserts no cross-chip traffic —
+        triples are independent).
+        """
         fn = self._fn(case)
-        out, _ = fn(self.zoo, jnp.asarray(faces), jnp.asarray(shapes),
-                    jnp.asarray(colors), jax.random.PRNGKey(self.cfg.seed))
+        args = (jnp.asarray(faces), jnp.asarray(shapes), jnp.asarray(colors))
+        n_dev = len(jax.devices())
+        if n_dev > 1 and args[0].shape[0] % n_dev == 0:
+            from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
+
+            plan = make_mesh(n_data=n_dev)
+            zoo = replicate(plan, self.zoo)
+            args = shard_batch(plan, args)
+            with plan.mesh:
+                out, _ = fn(zoo, *args, jax.random.PRNGKey(self.cfg.seed))
+            return np.asarray(out, dtype=np.float32)
+        out, _ = fn(self.zoo, *args, jax.random.PRNGKey(self.cfg.seed))
         return np.asarray(out, dtype=np.float32)
 
 

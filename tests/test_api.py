@@ -59,3 +59,19 @@ def test_swap_uint8_chw_coercion(hf):
     chw = rng.randint(0, 255, (3, size, size), dtype=np.uint8)
     out = hf.swap(chw, chw, chw)
     assert out.shape == (size, size, 3)
+
+
+@pytest.mark.skipif("HAIRFAST_SLOW_TESTS" not in __import__("os").environ,
+                    reason="13-min compile; run with HAIRFAST_SLOW_TESTS=1 "
+                           "(passed on the 8-virtual-device mesh)")
+def test_swap_batch_sharded(hf):
+    # under the 8-virtual-device conftest this exercises the DP mesh path
+    rng = np.random.RandomState(3)
+    size = hf.cfg.stylegan.size
+    B = 8
+    faces = rng.rand(B, size, size, 3).astype(np.float32)
+    shapes = rng.rand(B, size, size, 3).astype(np.float32)
+    colors = rng.rand(B, size, size, 3).astype(np.float32)
+    out = hf.swap_batch(faces, shapes, colors)
+    assert out.shape == (B, size, size, 3)
+    assert np.isfinite(out).all()
