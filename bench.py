@@ -25,7 +25,16 @@ from hairfastgan_tpu.pipeline import hair_fast
 from hairfastgan_tpu.zoo import init_zoo_fast
 
 
+def _enable_compile_cache():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/hairfast_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without the persistent cache
+
+
 def main():
+    _enable_compile_cache()
     cfg = HairFastConfig()
     # numpy shape-based init (seconds), one bulk transfer to the chip
     zoo = jax.device_put(init_zoo_fast(0, cfg))

@@ -108,6 +108,16 @@ class HairFastConfig:
     param_dtype: str = "float32"
     mesh_data_axis: int = 1  # data-parallel width; >1 shards the triple batch
 
+    # fast-path knobs (defaults preserve reference behavior)
+    # resolution at which the rotated render is re-segmented; the reference
+    # parses the full 1024 render (Alignment.py:65-67). 512 halves that
+    # BiSeNet cost with near-identical 256 labels.
+    rot_seg_size: int = 1024
+    # render the rotated image only up to the layer pair needed for
+    # segmentation instead of the full 1024 synthesis (partial RGB skip sum;
+    # an approximation — None keeps the reference's full render)
+    rot_render_pairs: Optional[int] = None
+
     # hair label in the 19-class CelebAMask order used throughout the pipeline
     hair_label: int = 13
 

@@ -67,12 +67,21 @@ def shape_module(
         rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6].astype(dtype),
                                      w1[:, :6].astype(dtype))
         rotate_to = jnp.concatenate([rot6, w2[:, 6:].astype(dtype)], axis=1)
+        # the rotated render is consumed ONLY by the re-segmentation;
+        # cfg.rot_render_pairs (fast path) stops the synthesis at a lower
+        # pair, cfg.rot_seg_size parses at reduced res. Defaults = reference
+        # behavior: full render (Alignment.py:63), parse at full res (:65-67)
+        end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
+                    else cfg.stylegan.log_size - 2)
         _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
+                                       end_layer=end_pair,
                                        cfg=cfg.stylegan, dtype=dtype,
                                        noise_key=noise_key)
         i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
-        # reference re-segments the rotated render at full res then
-        # downsamples labels to 256 (Alignment.py:65-67 -> Net.py:108-115)
+        if i_rot01.shape[1] > cfg.rot_seg_size:
+            from hairfastgan_tpu.pipeline.embedding import to_res
+
+            i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
         rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
 
         face_1, _ = shape_adaptor.get_hair_face_code(zoo["shape_adaptor"], mask1)

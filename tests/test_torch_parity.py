@@ -247,3 +247,87 @@ def test_gradual_style_block_parity():
     ref = from_torch(m(x))
     got = np.asarray(gradual_style_block(jax.tree.map(jnp.asarray, p), to_nhwc(x)))
     np.testing.assert_allclose(got, ref, atol=ATOL)
+
+
+def test_spade_parity():
+    from hairfastgan_tpu.models.sean import spade_gamma_beta
+    from hairfastgan_tpu.params.convert import _t_spade
+
+    class SPADE(nn.Module):
+        def __init__(self, norm_nc=12, label_nc=19, nhidden=16):
+            super().__init__()
+            self.mlp_shared = nn.Sequential(
+                nn.Conv2d(label_nc, nhidden, 3, padding=1), nn.ReLU())
+            self.mlp_gamma = nn.Conv2d(nhidden, norm_nc, 3, padding=1)
+            self.mlp_beta = nn.Conv2d(nhidden, norm_nc, 3, padding=1)
+
+        def forward(self, seg):
+            a = self.mlp_shared(seg)
+            return self.mlp_gamma(a), self.mlp_beta(a)
+
+    m = SPADE().eval()
+    sd = {f"s.{k}": v.detach().numpy() for k, v in m.state_dict().items()}
+    p = jax.tree.map(jnp.asarray, _t_spade(sd, "s"))
+    seg = torch.rand(2, 19, 16, 16)
+    g_ref, b_ref = m(seg)
+    g, b = spade_gamma_beta(p, to_nhwc(seg))
+    np.testing.assert_allclose(np.asarray(g), from_torch(g_ref).transpose(0, 2, 3, 1), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(b), from_torch(b_ref).transpose(0, 2, 3, 1), atol=ATOL)
+
+
+def test_zencoder_region_codes_parity():
+    """Zencoder conv stack + per-region average pooling vs a torch replica
+    of architecture.py:154-207 (InstanceNorm affine=False, reflect pads,
+    convT with output_padding, region masked means)."""
+    from hairfastgan_tpu.models.sean import zencoder_codes
+    from hairfastgan_tpu.params.convert import t_conv, t_convT
+
+    ngf = 8
+
+    class Z(nn.Module):
+        def __init__(self):
+            super().__init__()
+            IN = nn.InstanceNorm2d
+            self.model = nn.Sequential(
+                nn.ReflectionPad2d(1), nn.Conv2d(3, ngf, 3), IN(ngf), nn.LeakyReLU(0.2),
+                nn.Conv2d(ngf, ngf * 2, 3, 2, 1), IN(ngf * 2), nn.LeakyReLU(0.2),
+                nn.Conv2d(ngf * 2, ngf * 4, 3, 2, 1), IN(ngf * 4), nn.LeakyReLU(0.2),
+                nn.ConvTranspose2d(ngf * 4, ngf * 8, 3, 2, 1, output_padding=1),
+                IN(ngf * 8), nn.LeakyReLU(0.2),
+                nn.ReflectionPad2d(1), nn.Conv2d(ngf * 8, 20, 3), nn.Tanh())
+
+        def forward(self, img, seg):
+            codes = self.model(img)
+            seg = TF.interpolate(seg, size=codes.shape[2:], mode="nearest")
+            b, f = codes.shape[0], codes.shape[1]
+            s = seg.shape[1]
+            out = torch.zeros((b, s, f))
+            for i in range(b):
+                for j in range(s):
+                    area = seg.bool()[i, j].sum()
+                    if area > 0:
+                        out[i][j] = codes[i].masked_select(
+                            seg.bool()[i, j]).reshape(f, area).mean(1)
+            return out
+
+    m = Z().eval()
+    sd = {f"z.{k}": v.detach().numpy() for k, v in m.state_dict().items()}
+    p = jax.tree.map(jnp.asarray, {
+        "conv_in": t_conv(sd, "z.model.1"),
+        "down1": t_conv(sd, "z.model.4"),
+        "down2": t_conv(sd, "z.model.7"),
+        "up": t_convT(sd, "z.model.10"),
+        "conv_out": t_conv(sd, "z.model.14"),
+    })
+    img = torch.randn(2, 3, 64, 64) * 0.3
+    labels = torch.randint(0, 19, (2, 64, 64))
+    onehot = TF.one_hot(labels, 19).permute(0, 3, 1, 2).float()
+    ref = from_torch(m(img, onehot))
+
+    import jax as _jax
+    from hairfastgan_tpu.ops.segops import one_hot_mask
+
+    got = np.asarray(zencoder_codes(p, to_nhwc(img),
+                                    one_hot_mask(jnp.asarray(labels.numpy()), 19)))
+    # our codes are [B,19,C(=20 here)]; torch replica matches
+    np.testing.assert_allclose(got, ref, atol=1e-4)
