@@ -138,6 +138,69 @@ class HairFast:
         return np.asarray(out, dtype=np.float32)
 
 
+    def swap_stream(self, triples, case: str = "distinct"):
+        """Serving path: iterate (index, final_image) over many triples,
+        overlapping host decode (native C++ loader) with device compute.
+
+        `triples`: sequence of (face_path, shape_path, color_path). JAX
+        dispatch is async — the next triple's images are decoded and
+        transferred while the previous swap executes on the chip.
+        """
+        from hairfastgan_tpu.data.native_loader import (
+            NativeImageLoader, native_available)
+        from hairfastgan_tpu.utils.images import to_image_array
+
+        size = self.cfg.stylegan.size
+        fn = self._fn(case)
+        key = jax.random.PRNGKey(self.cfg.seed)
+
+        paths = [p for t in triples for p in t]
+        if native_available():
+            loader = NativeImageLoader([str(p) for p in paths],
+                                       out_size=size, threads=4)
+            images: Dict[int, np.ndarray] = {}
+            got = iter(loader)
+        else:
+            images = {i: to_image_array(p, size) for i, p in enumerate(paths)}
+            got = iter(())
+
+        pending = []  # (triple_idx, device result) — async in flight
+        next_needed = 0
+        n = len(triples)
+
+        def ready(i):
+            return all(3 * i + j in images for j in range(3))
+
+        drained = False
+        while next_needed < n or pending:
+            # drain decoded images
+            if not drained:
+                for idx, img in got:
+                    images[idx] = img
+                    if ready(next_needed):
+                        break
+                else:
+                    drained = True
+            if (drained and next_needed < n and not ready(next_needed)
+                    and not pending):
+                missing = [3 * next_needed + j for j in range(3)
+                           if 3 * next_needed + j not in images]
+                raise IOError(f"decode failed for triple {next_needed} "
+                              f"(images {missing})")
+            # launch every consecutive ready triple (async dispatch)
+            while next_needed < n and ready(next_needed):
+                i = next_needed
+                face, shape, color = (jnp.asarray(images.pop(3 * i + j))[None]
+                                      for j in range(3))
+                out, _ = fn(self.zoo, face, shape, color, key)
+                final = out[0] if isinstance(out, tuple) else out
+                pending.append((i, final))
+                next_needed += 1
+            if pending:
+                i, dev = pending.pop(0)
+                yield i, np.asarray(dev[0], dtype=np.float32)
+
+
 def get_parser() -> argparse.ArgumentParser:
     """CLI flags mirroring reference hair_swap.get_parser (hair_swap.py:108-133)."""
     p = argparse.ArgumentParser(description="HairFast-TPU")

@@ -172,6 +172,25 @@ def init_e4e(key, n_styles: int = 18, se: bool = True):
     }
 
 
+def gradual_style_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
+    """pSp GradualStyleEncoder variant (psp_encoders.py:57-123): independent
+    per-layer styles from the FPN (coarse 0-2 from c3, middle 3-6 from p2,
+    fine 7.. from p1) — no w0 broadcast/deltas. Same parameter tree as
+    Encoder4Editing (init_e4e)."""
+    c1, c2, c3 = irse_pyramid(p["backbone"], x)
+    n_styles = len(p["styles"])
+    latents = [gradual_style_block(p["styles"][j], c3) for j in range(3)]
+    p2 = _upsample_add(c3, conv2d_p(p["latlayer1"], c2))
+    latents += [gradual_style_block(p["styles"][j], p2) for j in range(3, 7)]
+    p1 = _upsample_add(p2, conv2d_p(p["latlayer2"], c1))
+    latents += [gradual_style_block(p["styles"][j], p1)
+                for j in range(7, n_styles)]
+    w = jnp.stack(latents, axis=1)
+    if add_latent_avg:
+        w = w + p["latent_avg"].astype(w.dtype)[None]
+    return w
+
+
 def e4e_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
     """x: [B,256,256,3] normalized ([-1,1]) -> W+ [B,18,512].
 

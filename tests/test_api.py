@@ -75,3 +75,22 @@ def test_swap_batch_sharded(hf):
     out = hf.swap_batch(faces, shapes, colors)
     assert out.shape == (B, size, size, 3)
     assert np.isfinite(out).all()
+
+
+def test_swap_stream(hf, tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    size = hf.cfg.stylegan.size
+    paths = []
+    for i in range(6):
+        arr = rng.randint(0, 255, (size, size, 3), np.uint8)
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(arr).save(str(p))
+        paths.append(str(p))
+    triples = [(paths[0], paths[1], paths[2]), (paths[3], paths[4], paths[5])]
+    results = dict(hf.swap_stream(triples))
+    assert sorted(results) == [0, 1]
+    for v in results.values():
+        assert v.shape == (size, size, 3)
+        assert np.isfinite(v).all()

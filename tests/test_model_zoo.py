@@ -191,3 +191,17 @@ def test_star_e2h_matrix():
     # points 96, 97 (pupils) belong to no edge -> bias keeps their heatmaps
     assert b[96] == 1.0 and b[97] == 1.0
     assert b[:96].sum() == 0
+
+
+def test_gradual_style_encoder_variant():
+    """pSp GradualStyleEncoder shares the e4e tree but stacks independent
+    per-layer styles (no w0 broadcast)."""
+    p = e4e.init_e4e(KEY, n_styles=18, se=False)
+    x = jax.random.normal(KEY, (1, 256, 256, 3)) * 0.5
+    w = e4e.gradual_style_encode(p, x, add_latent_avg=False)
+    assert w.shape == (1, 18, 512)
+    w_e4e = e4e.e4e_encode(p, x, add_latent_avg=False)
+    # row 0 matches e4e's w0 (same styles[0](c3)); later rows differ
+    np.testing.assert_allclose(np.asarray(w[:, 0]), np.asarray(w_e4e[:, 0]),
+                               atol=1e-5)
+    assert float(jnp.max(jnp.abs(w[:, 5] - w_e4e[:, 5]))) > 1e-4
