@@ -53,9 +53,14 @@ def extract_id_feats(p, img256: Array) -> Array:
 
 
 def id_loss(p, y_hat256: Array, y256: Array) -> Array:
-    """mean(1 - <e(y_hat), e(y)>) (pp_losses.py:285-296); y is stop-grad."""
-    a = extract_id_feats(p, y_hat256)
-    b = jax.lax.stop_gradient(extract_id_feats(p, y256))
+    """mean(1 - <e(y_hat), e(y)>) (pp_losses.py:285-296); y is stop-grad.
+
+    Both images go through ONE batched backbone pass (the reference runs
+    two sequential forwards)."""
+    n = y_hat256.shape[0]
+    feats = extract_id_feats(p, jnp.concatenate([y_hat256, y256], axis=0))
+    a = feats[:n]
+    b = jax.lax.stop_gradient(feats[n:])
     return jnp.mean(1.0 - jnp.sum(a * b, axis=-1))
 
 

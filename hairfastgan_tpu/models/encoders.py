@@ -107,8 +107,13 @@ def blending_model(p, latent_face: Array, latent_color: Array,
     Images are [-1,1] normalized 256^2 NHWC (Encoders.py:94-103).
     """
     rows = latent_color.shape[1]  # 12 for the 1024 config (18-6)
-    ef = clip_image_embed(p["clip"], target_face)[:, None, :]
-    ec = clip_image_embed(p["clip"], hair_color)[:, None, :]
+    b = target_face.shape[0]
+    # one batched CLIP tower pass for both crops (reference: two forwards,
+    # Encoders.py:95-96)
+    both = clip_image_embed(p["clip"],
+                            jnp.concatenate([target_face, hair_color], axis=0))
+    ef = both[:b][:, None, :]
+    ec = both[b:][:, None, :]
     emb = jnp.concatenate([
         latent_color,
         jnp.tile(ef, (1, rows, 1)).astype(latent_color.dtype),
@@ -143,8 +148,14 @@ def post_process_model(p, source: Array, target: Array) -> Tuple[Array, Array]:
         source = resize(source, (256, 256), "bilinear")
     if target.shape[1] != 256:
         target = resize(target, (256, 256), "bilinear")
-    s_face, [f_face] = iresnet.fs_encode(p["encoder_face"], source)
-    s_hair, [f_hair] = iresnet.fs_encode(p["encoder_face"], target)
+    # ONE batched trunk pass for both images (the reference runs the
+    # encoder twice sequentially, Encoders.py:120-121) — double the MXU
+    # batch at no extra HBM weight traffic
+    b = source.shape[0]
+    s_both, [f_both] = iresnet.fs_encode(
+        p["encoder_face"], jnp.concatenate([source, target], axis=0))
+    s_face, s_hair = s_both[:b], s_both[b:]
+    f_face, f_hair = f_both[:b], f_both[b:]
 
     d_face = modulation_stack(p["to_latent_1"], pixel_norm(s_face, axis=1), s_hair)
     d_hair = modulation_stack(p["to_latent_2"], pixel_norm(s_hair, axis=1), s_face)

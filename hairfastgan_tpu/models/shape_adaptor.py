@@ -156,17 +156,28 @@ def init_shape_adaptor(key):
     }
 
 
+def get_face_code(p, labels256: Array) -> Array:
+    """labels [B,256,256] -> face code [B,1024] (18 non-hair channels)."""
+    onehot = one_hot_mask(labels256, N_CLASSES)
+    face = jnp.concatenate([onehot[..., :HAIR_IDX], onehot[..., HAIR_IDX + 1:]], -1)
+    return mask_encode(p["face_encoder"], face)
+
+
+def get_hair_code(p, labels256: Array) -> Array:
+    """labels [B,256,256] -> hair code [B,16] (VAE mean, test path)."""
+    onehot = one_hot_mask(labels256, N_CLASSES)
+    return mask_encode(p["hair_encoder"], onehot[..., HAIR_IDX:HAIR_IDX + 1])
+
+
 def get_hair_face_code(p, labels256: Array) -> Tuple[Array, Array]:
     """labels [B,256,256] int -> (face_code [B,1024], hair_code [B,16]).
 
     Mirrors solver.py:248-256: one-hot 19, split at HAIR_IDX, encode both.
+    The pipeline uses the split functions above — it needs only the face
+    code of one mask and the hair code of the other (Alignment.py:74-77
+    computes both for each mask and discards half).
     """
-    onehot = one_hot_mask(labels256, N_CLASSES)
-    hair = onehot[..., HAIR_IDX:HAIR_IDX + 1]
-    face = jnp.concatenate([onehot[..., :HAIR_IDX], onehot[..., HAIR_IDX + 1:]], -1)
-    hair_code = mask_encode(p["hair_encoder"], hair)
-    face_code = mask_encode(p["face_encoder"], face)
-    return face_code, hair_code
+    return get_face_code(p, labels256), get_hair_code(p, labels256)
 
 
 def get_new_shape(p, face_code: Array, hair_code: Array) -> Array:

@@ -84,8 +84,11 @@ def shape_module(
             i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
         rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
 
-        face_1, _ = shape_adaptor.get_hair_face_code(zoo["shape_adaptor"], mask1)
-        _, hair_2 = shape_adaptor.get_hair_face_code(zoo["shape_adaptor"], rot_mask)
+        # only the face code of mask1 and the hair code of the rotated mask
+        # are consumed; the reference encodes both codes for both masks and
+        # discards half (Alignment.py:74-77)
+        face_1 = shape_adaptor.get_face_code(zoo["shape_adaptor"], mask1)
+        hair_2 = shape_adaptor.get_hair_code(zoo["shape_adaptor"], rot_mask)
         target_mask = shape_adaptor.get_new_shape(zoo["shape_adaptor"], face_1, hair_2)
 
     return {

@@ -133,3 +133,13 @@ def test_fid_stats():
     diff = frechet_distance(*sa.finalize(), *sb.finalize())
     assert same == pytest.approx(0.0, abs=1e-6)
     assert diff > 8 * 3  # ~ ||2||^2 * dims
+
+
+def test_nan_guard():
+    from hairfastgan_tpu.train.common import check_finite_loss
+
+    check_finite_loss(jnp.asarray(1.0), 0)
+    with pytest.raises(FloatingPointError):
+        check_finite_loss(jnp.asarray(float("nan")), 3)
+    with pytest.raises(FloatingPointError):
+        check_finite_loss(jnp.asarray(float("inf")), 4)

@@ -69,3 +69,23 @@ def test_missing_file_skipped(image_files, tmp_path):
         seen = [i for i, _ in loader]
     assert seen == [0]
     loader.close()
+
+
+def test_prefetch_loader_stress(image_files):
+    """Concurrency stress: many items, more threads than queue slots —
+    every index delivered exactly once, no deadlock (the loader is our one
+    hand-rolled synchronization primitive; SURVEY.md §5.2)."""
+    paths = image_files * 40  # 120 items
+    loader = NativeImageLoader(paths, out_size=16, threads=8)
+    seen = [i for i, _ in loader]
+    assert sorted(seen) == list(range(len(paths)))
+    assert len(set(seen)) == len(paths)
+    loader.close()
+
+
+def test_loader_early_close(image_files):
+    """Destroying mid-stream must not hang or crash workers."""
+    loader = NativeImageLoader(image_files * 10, out_size=16, threads=4)
+    it = iter(loader)
+    next(it)
+    loader.close()  # workers joined with items still queued
