@@ -75,6 +75,9 @@ class HairFast:
             from hairfastgan_tpu.utils.face_align import align_faces
 
             imgs = align_faces(imgs)
+        # ship uint8; the device normalizes (4x less host->device traffic)
+        imgs = [np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                for im in imgs]
         imgs = equal_replacer(imgs)
         case = swap_cases(*imgs)
 

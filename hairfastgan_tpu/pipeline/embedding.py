@@ -75,8 +75,15 @@ def embed_images(
     """images: [B,1024,1024,3] in [0,1] -> embedding dict (batched).
 
     zoo keys used: generator, e4e, fse, fse_latent_avg, bisenet.
+
+    uint8 input is normalized ON DEVICE (images cross the host link at 1/4
+    the bytes — the reference's ImagesDataset does the same uint8 -> /255,
+    datasets/image_dataset.py:14-16).
     """
-    img = images.astype(dtype)
+    if images.dtype == jnp.uint8:
+        img = images.astype(dtype) / 255.0
+    else:
+        img = images.astype(dtype)
     im_512 = to_res(img, 512)
     im_256 = to_res(img, 256)
     im_256_norm = im_256 * 2.0 - 1.0

@@ -46,6 +46,12 @@ def to_image_array(img: TImage, size: int = 1024) -> np.ndarray:
     return arr
 
 
+def to_image_u8(img: TImage, size: int = 1024) -> np.ndarray:
+    """Anything -> [H,W,3] uint8 (device normalizes; 1/4 transfer bytes)."""
+    arr = to_image_array(img, size)
+    return np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 def equal_replacer(images: Sequence[np.ndarray]) -> List[np.ndarray]:
     """Replace value-equal arrays with the SAME object so `is` fast paths fire
     (reference utils/image_utils.py:15-24)."""
