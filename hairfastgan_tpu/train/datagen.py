@@ -30,9 +30,16 @@ def generate_blending_sample(
     shape: Array,
     color: Array,
     cfg: HairFastConfig = HairFastConfig(),
+    seg16_params: Optional[Dict] = None,
 ) -> Dict[str, Array]:
     """One Blending_dataset row (blending_gen.py:43-69 + blending_train.py
-    :210-252): aligned S/F latents + images + masks, blend left untrained."""
+    :210-252): aligned S/F latents + images + masks, blend left untrained.
+
+    With `seg16_params` (the seg.pth 16-class parser), HM_XD/HM_XE come from
+    the rendered aligned image like the reference's Blending_dataset
+    (:224-235 renders G[4..8](align latents) then generate_mask); otherwise
+    the pipeline's 19-class target-hair mask is used.
+    """
     stacked = jnp.concatenate([face, shape, color], axis=0)
     b = face.shape[0]
     emb = embed_images(zoo, stacked, mix=True, cfg=cfg)
@@ -47,7 +54,13 @@ def generate_blending_sample(
     hair3 = (e_color["mask"] == cfg.hair_label).astype(face.dtype)[..., None]
     hm_1d, _ = dilate_erode(hair1, cfg.smooth)
     hm_3d, hm_3e = dilate_erode(hair3, cfg.smooth)
-    hm_xd, hm_xe = dilate_erode(align_color["HM_X"], cfg.smooth)
+    if seg16_params is not None:
+        _, i_align = stylegan2.synthesis(
+            zoo["generator"], e_face["S"], start_layer=4, end_layer=8,
+            layer_in=align_shape["latent_F_align"], cfg=cfg.stylegan)
+        hm_xd, hm_xe = generate_mask16(seg16_params, i_align, cfg.smooth)
+    else:
+        hm_xd, hm_xe = dilate_erode(align_color["HM_X"], cfg.smooth)
     target_mask = (1 - hm_1d) * (1 - hm_3d) * (1 - hm_xd)
 
     return {
@@ -86,6 +99,25 @@ def generate_pp_sample(
         "target_mask": blend["target_mask"],
         "HT_E": blend["HM_XE"],
     }
+
+
+def generate_mask16(bisenet16_params, images_norm: Array,
+                    smooth: int = 5) -> Tuple[Array, Array]:
+    """(HM_XD, HM_XE) from the 16-class parser on [-1,1] images.
+
+    Training-time mask generation (blending_train.py:66-75 generate_mask:
+    parse the 512-downsampled render with seg.pth, hair = class 10,
+    nearest-resize to 256, dilate/erode)."""
+    from hairfastgan_tpu.models import bisenet
+    from hairfastgan_tpu.ops.resample import resize
+
+    im512 = to_res((images_norm + 1.0) / 2.0, 512)
+    logits = bisenet.bisenet_logits(bisenet16_params,
+                                    bisenet.to_bisenet_input(im512))
+    labels = jnp.argmax(logits, axis=-1)
+    hair = (labels == bisenet.SEG16_HAIR).astype(images_norm.dtype)[..., None]
+    hair256 = resize(hair, (256, 256), "nearest")
+    return dilate_erode(hair256, smooth)
 
 
 def generate_rotate_pair(

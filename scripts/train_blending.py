@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--test_frac", type=float, default=0.1)
+    ap.add_argument("--fid_real_dir", type=Path, default=None,
+                    help="real-face dir for per-validation FID-CLIP "
+                         "(blending_train.py:127-167)")
+    ap.add_argument("--grid_dir", type=Path, default=None,
+                    help="dump validation render grids here")
     ap.add_argument("--log", type=Path, default=Path("blending_train.jsonl"))
     args = ap.parse_args()
 
@@ -76,6 +81,36 @@ def main():
     logger = MetricLogger(str(args.log))
     best = float("inf")
 
+    # validation renders for FID-CLIP / grids (blend -> G[4..8] @256)
+    from hairfastgan_tpu.models import encoders, stylegan2
+    from hairfastgan_tpu.pipeline.embedding import to_res
+
+    @jax.jit
+    def render_val(params, color_s, align_s, align_f, color_i, face_i,
+                   target_mask, hm3e, hmxe):
+        pp = dict(params, clip=frozen["clip"])
+        blend = encoders.blending_model(pp, align_s[:, 6:], color_s[:, 6:],
+                                        face_i * target_mask, color_i * hm3e)
+        latent = jnp.concatenate(
+            [jnp.zeros((blend.shape[0], 6, 512), blend.dtype), blend], axis=1)
+        _, img = stylegan2.synthesis(frozen["generator"], latent,
+                                     start_layer=4, end_layer=8,
+                                     layer_in=align_f, cfg=cfg.stylegan)
+        return jnp.clip((to_res(img, 256) + 1) / 2, 0, 1)
+
+    fid_stats_real = None
+    feat_fn = None
+    if args.fid_real_dir is not None:
+        from hairfastgan_tpu.eval.fid import FIDStats, clip_feature_fn, frechet_distance
+        from scripts.fid_metric import load_dir
+
+        feat_fn = clip_feature_fn(frozen["clip"])
+        real = load_dir(args.fid_real_dir, size=256)
+        fid_stats_real = FIDStats()
+        for i in range(0, len(real), 64):
+            fid_stats_real.update(feat_fn(real[i:i + 64]))
+        fid_real = fid_stats_real.finalize()
+
     with plan.mesh:
         for epoch in range(args.epochs):
             for batch in batches(train_rows, args.batch_size, seed=epoch):
@@ -88,7 +123,30 @@ def main():
             vls = [float(val_loss(params, *shard_batch(plan, b)))
                    for b in batches(test_rows, args.batch_size, shuffle=False)]
             v = float(np.mean(vls)) if vls else float("nan")
-            print(f"epoch {epoch}: val {v:.4f}")
+
+            extra = ""
+            if feat_fn is not None or args.grid_dir is not None:
+                renders = [np.asarray(render_val(params, *b))
+                           for b in batches(test_rows, args.batch_size,
+                                            shuffle=False)]
+                if renders:
+                    renders = np.concatenate(renders)
+                    if feat_fn is not None:
+                        from hairfastgan_tpu.eval.fid import FIDStats, frechet_distance
+
+                        sf = FIDStats()
+                        for i in range(0, len(renders), 64):
+                            sf.update(feat_fn(renders[i:i + 64]))
+                        fid = frechet_distance(*fid_real, *sf.finalize())
+                        logger.log(fid_clip=fid)
+                        extra += f" fid-clip {fid:.3f}"
+                    if args.grid_dir is not None:
+                        from hairfastgan_tpu.utils.images import save_image01
+                        from hairfastgan_tpu.utils.save_utils import image_grid
+
+                        save_image01(args.grid_dir / f"epoch_{epoch:04d}.png",
+                                     image_grid(renders[:100]))
+            print(f"epoch {epoch}: val {v:.4f}{extra}")
             save_train_state(args.ckpt_dir / "last", params, opt_state, logger.step)
             if v < best:
                 best = v
