@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hairfastgan_tpu.config import HairFastConfig
-from hairfastgan_tpu.pipeline.swap import CASES, hair_fast, swap_cases
+from hairfastgan_tpu.pipeline.swap import hair_fast, swap_cases
 from hairfastgan_tpu.utils.images import equal_replacer, save_image01, to_image_array
 from hairfastgan_tpu.utils.timing import BenchSession
 from hairfastgan_tpu.zoo import init_zoo, load_zoo
@@ -224,8 +224,6 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> HairFastConfig:
-    import dataclasses
-
     from hairfastgan_tpu.config import StyleGANConfig
 
     return HairFastConfig(

@@ -15,10 +15,9 @@ from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hairfastgan_tpu.models.layers import init_conv
-from hairfastgan_tpu.ops.basic import conv2d, conv2d_p, max_pool, relu
+from hairfastgan_tpu.ops.basic import conv2d_p, max_pool, relu
 from hairfastgan_tpu.ops.resample import resize
 
 Array = jax.Array

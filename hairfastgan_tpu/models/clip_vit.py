@@ -22,7 +22,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from hairfastgan_tpu.models.layers import init_conv, init_linear, init_ln
+from hairfastgan_tpu.models.layers import init_linear, init_ln
 from hairfastgan_tpu.ops.basic import adaptive_avg_pool, conv2d, layer_norm, linear
 
 Array = jax.Array

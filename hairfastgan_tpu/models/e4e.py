@@ -30,7 +30,6 @@ from hairfastgan_tpu.models.layers import (
     init_bn,
     init_conv,
     init_conv_bn,
-    init_linear,
     init_prelu,
 )
 from hairfastgan_tpu.ops.basic import (
@@ -38,7 +37,6 @@ from hairfastgan_tpu.ops.basic import (
     batch_norm,
     conv2d_p,
     leaky_relu,
-    max_pool,
     prelu,
     relu,
     sigmoid,

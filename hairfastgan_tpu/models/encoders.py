@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from hairfastgan_tpu.models import iresnet
 from hairfastgan_tpu.models.clip_vit import clip_encode_image, clip_preprocess
-from hairfastgan_tpu.models.layers import init_linear, init_ln, mlp_ln_lrelu
+from hairfastgan_tpu.models.layers import init_linear, mlp_ln_lrelu
 from hairfastgan_tpu.ops.basic import layer_norm, leaky_relu, linear
 from hairfastgan_tpu.ops.equalized import pixel_norm
 from hairfastgan_tpu.ops.resample import resize

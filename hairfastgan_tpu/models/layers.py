@@ -10,10 +10,15 @@ frozen-zoo params are overwritten by the checkpoint converter
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
+
+from hairfastgan_tpu.ops.basic import batch_norm, conv2d_p, leaky_relu, relu
+
+Array = jax.Array
 
 
 @jax.tree_util.register_static
@@ -28,15 +33,9 @@ class Static:
 
     value: Any
 
-from hairfastgan_tpu.ops.basic import batch_norm, conv2d_p, leaky_relu, linear, prelu, relu
-
-Array = jax.Array
-
 
 def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, scale: float = None):
     if scale is None:
-        import math
-
         scale = 1.0 / math.sqrt(in_dim) if in_dim > 0 else 1.0
     p = {"w": jax.random.normal(key, (in_dim, out_dim), jnp.float32) * scale}
     if bias:
