@@ -11,3 +11,20 @@ pytrees, sharded over a `jax.sharding.Mesh` for batched triples.
 __version__ = "0.1.0"
 
 from hairfastgan_tpu.config import HairFastConfig  # noqa: F401
+
+
+def __getattr__(name):  # lazy top-level conveniences (avoid heavy imports)
+    if name == "HairFast":
+        from hairfastgan_tpu.api import HairFast
+
+        return HairFast
+    if name == "hair_fast":
+        from hairfastgan_tpu.pipeline import hair_fast
+
+        return hair_fast
+    if name in ("init_zoo", "load_zoo", "init_tiny_zoo"):
+        from hairfastgan_tpu import zoo
+
+        return getattr(zoo, name)
+    raise AttributeError(name)
+
