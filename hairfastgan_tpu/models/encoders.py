@@ -141,6 +141,52 @@ def init_post_process_model(key):
     }
 
 
+def init_post_process_train_model(key, use_mod: bool = True, n_latent: int = 18):
+    """Training-variant parameter tree (scripts/pp_train.py:278-298):
+    use_mod=False swaps the two modulation stacks for a plain
+    Linear(1024,1024)+LN+LReLU+Linear(1024,512) head over cat(s_face, s_hair)."""
+    p = init_post_process_model(key)
+    if not use_mod:
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 7))
+        del p["to_latent_1"], p["to_latent_2"]
+        p["to_latent"] = mlp_ln_lrelu(k1, 1024, 1024, 512)
+    return p
+
+
+def post_process_model_train(
+    p, source: Array, target: Array, target_mask: Optional[Array] = None,
+    *, pretrain: bool = False, use_mod: bool = True, use_full: bool = True,
+) -> Tuple[Array, Array]:
+    """Training forward with the reference's variant flags
+    (pp_train.py:299-327): pretrain returns the single-image inversion;
+    use_full=False blends the two F maps with the 64x64 target mask."""
+    from hairfastgan_tpu.ops.resample import resize as _resize
+
+    s_face, [f_face] = iresnet.fs_encode(p["encoder_face"], source)
+    avg = p["latent_avg"].astype(s_face.dtype)[None]
+    if pretrain:
+        return avg + s_face, f_face
+
+    s_hair, [f_hair] = iresnet.fs_encode(p["encoder_face"], target)
+
+    if use_mod:
+        d_face = modulation_stack(p["to_latent_1"], pixel_norm(s_face, axis=1),
+                                  s_hair)
+        d_hair = modulation_stack(p["to_latent_2"], pixel_norm(s_hair, axis=1),
+                                  s_face)
+        s_final = avg + 0.1 * (d_face + d_hair)
+    else:
+        cat_s = jnp.concatenate([s_face, s_hair], axis=-1)
+        s_final = avg + _branch(p["to_latent"], cat_s)
+
+    if use_full:
+        cat_f = jnp.concatenate([f_face, f_hair], axis=-1)
+    else:
+        tm = _resize(target_mask, (64, 64), "nearest")
+        cat_f = jnp.concatenate([f_face * tm, f_hair * (1 - tm)], axis=-1)
+    return s_final, iresnet.feature_iresnet(p["to_feature"], cat_f)
+
+
 def post_process_model(p, source: Array, target: Array) -> Tuple[Array, Array]:
     """(I_face_norm256, I_blend_norm256) -> (S_final [B,18,512], F_final [B,64,64,512])."""
     # FeatureEncoderMult resizes inputs to 256 first (Net.py:12-14,447)

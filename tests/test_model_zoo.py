@@ -205,3 +205,27 @@ def test_gradual_style_encoder_variant():
     np.testing.assert_allclose(np.asarray(w[:, 0]), np.asarray(w_e4e[:, 0]),
                                atol=1e-5)
     assert float(jnp.max(jnp.abs(w[:, 5] - w_e4e[:, 5]))) > 1e-4
+
+
+def test_pp_train_variants():
+    from hairfastgan_tpu.models.encoders import (
+        init_post_process_train_model, post_process_model_train)
+
+    src = jax.random.normal(KEY, (1, 256, 256, 3))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 3))
+    mask = jnp.ones((1, 256, 256, 1))
+
+    p = init_post_process_train_model(KEY, use_mod=True)
+    p["encoder_face"] = iresnet.init_fs_encoder(KEY, n_styles=18,
+                                                fs_layers=(9,), depth=18)
+    # pretrain: single-image inversion path
+    s, f = post_process_model_train(p, src, tgt, pretrain=True)
+    assert s.shape == (1, 18, 512) and f.shape == (1, 64, 64, 512)
+    # masked-F variant
+    s, f = post_process_model_train(p, src, tgt, mask, use_full=False)
+    assert f.shape == (1, 64, 64, 512)
+
+    p2 = init_post_process_train_model(KEY, use_mod=False)
+    p2["encoder_face"] = p["encoder_face"]
+    s, f = post_process_model_train(p2, src, tgt, use_mod=False)
+    assert s.shape == (1, 18, 512)
