@@ -41,7 +41,7 @@ from hairfastgan_tpu.ops.basic import (
     tanh,
 )
 from hairfastgan_tpu.ops.resample import resize
-from hairfastgan_tpu.ops.segops import one_hot_mask, region_broadcast, region_mean
+from hairfastgan_tpu.ops.segops import one_hot_mask, region_mean
 
 Array = jax.Array
 
@@ -123,6 +123,30 @@ def init_ace(key, norm_nc: int, use_rgb: bool = True):
     return p
 
 
+def _region_conv(conv_p, mu: Array, seg: Array) -> Array:
+    """conv3x3(region_broadcast(mu)) without materializing the broadcast.
+
+    conv_p: {'w': [3,3,C,O], 'b': [O]}; mu [B,K,C]; seg one-hot [B,H,W,K].
+    """
+    w = conv_p["w"].astype(mu.dtype)
+    proj = jnp.einsum("bkc,uvco->bkuvo", mu, w,
+                      preferred_element_type=mu.dtype)  # [B,K,3,3,O]
+    kh, kw = w.shape[0], w.shape[1]
+    ph, pw = kh // 2, kw // 2
+    segp = jnp.pad(seg, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    h, wdt = seg.shape[1], seg.shape[2]
+    out = None
+    for u in range(kh):
+        for v in range(kw):
+            shifted = segp[:, u:u + h, v:v + wdt, :]
+            t = jnp.einsum("bhwk,bko->bhwo", shifted, proj[:, :, u, v, :],
+                           preferred_element_type=mu.dtype)
+            out = t if out is None else out + t
+    if "b" in conv_p:
+        out = out + conv_p["b"].astype(mu.dtype)
+    return out
+
+
 def ace(p, x: Array, seg_onehot: Array, style_codes: Optional[Array],
         noise_key: Optional[Array] = None) -> Array:
     """ACE forward (normalization.py:108-191) on NHWC.
@@ -141,16 +165,20 @@ def ace(p, x: Array, seg_onehot: Array, style_codes: Optional[Array],
     gamma_spade, beta_spade = spade_gamma_beta(p["spade"], seg)
 
     if "fc_mu" in p and style_codes is not None:
-        # per-region fc_mu + relu, then scatter over the map: one stacked
-        # matmul [B,19,512]x[19,512,512] and one einsum
+        # per-region fc_mu + relu: one stacked matmul [B,19,512]x[19,512,512]
         w = jnp.stack([f["w"] for f in p["fc_mu"]])  # [19, 512, 512]
         b = jnp.stack([f["b"] for f in p["fc_mu"]])  # [19, 512]
         mu = relu(jnp.einsum("bks,ksd->bkd", style_codes.astype(x.dtype),
                              w.astype(x.dtype),
                              preferred_element_type=x.dtype) + b.astype(x.dtype))
-        middle = region_broadcast(mu, seg)  # [B,H,W,512]
-        gamma_avg = conv2d_p(p["conv_gamma"], middle, padding=1)
-        beta_avg = conv2d_p(p["conv_beta"], middle, padding=1)
+        # conv3x3(region_broadcast(mu)) reordered: the conv is linear, and
+        # the broadcast map is sum_k onehot_k (x) mu_k, so project the conv
+        # taps onto mu FIRST (proj[b,k,u,v,o] = sum_c W[u,v,c,o] mu[b,k,c])
+        # and accumulate 9 shifted [B,H,W,19]x[B,19,O] einsums. Exactly the
+        # reference math (normalization.py:172-173) with 512/19 ~ 27x fewer
+        # MACs and no [B,H,W,512] intermediate in HBM.
+        gamma_avg = _region_conv(p["conv_gamma"], mu, seg)
+        beta_avg = _region_conv(p["conv_beta"], mu, seg)
         ga = sigmoid(p["blend_gamma"]).astype(x.dtype)
         ba = sigmoid(p["blend_beta"]).astype(x.dtype)
         gamma = ga * gamma_avg + (1 - ga) * gamma_spade

@@ -229,3 +229,24 @@ def test_pp_train_variants():
     p2["encoder_face"] = p["encoder_face"]
     s, f = post_process_model_train(p2, src, tgt, use_mod=False)
     assert s.shape == (1, 18, 512)
+
+
+def test_region_conv_matches_broadcast_conv():
+    """The reordered ACE conv (project taps onto region vectors) must equal
+    conv3x3(region_broadcast(mu)) exactly."""
+    from hairfastgan_tpu.models.sean import _region_conv
+    from hairfastgan_tpu.ops.basic import conv2d_p
+    from hairfastgan_tpu.ops.segops import one_hot_mask, region_broadcast
+
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    B, H, W, K, C, O = 2, 16, 16, 19, 32, 24
+    mu = jax.random.normal(k1, (B, K, C))
+    labels = jax.random.randint(k2, (B, H, W), 0, K)
+    seg = one_hot_mask(labels, K)
+    conv_p = {"w": jax.random.normal(k3, (3, 3, C, O)) * 0.1,
+              "b": jnp.ones((O,)) * 0.3}
+
+    ref = conv2d_p(conv_p, region_broadcast(mu, seg), padding=1)
+    got = _region_conv(conv_p, mu, seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
