@@ -27,12 +27,34 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hairfastgan_tpu.ops.basic import conv2d
 from hairfastgan_tpu.ops.equalized import equal_linear
 from hairfastgan_tpu.ops.upfirdn2d import blur2d
 
 Array = jax.Array
+
+
+def _fuse_blur_kernel(w: Array, blur_kernel, gain: float, dtype) -> Array:
+    """Compose an HWIO conv kernel with the separable FIR blur.
+
+    Correlation chain identity: corr(corr(x, W), B') == corr(x, K) with
+    K[t] = sum_a W[a] B'[t-a]; B' is the flipped (true-conv) blur — for the
+    symmetric [1,3,3,1] family flip(B) == B. Built as pk^2 shifted adds of
+    the kh x kw kernel into a (kh+pk-1)^2 kernel at trace time.
+    """
+    from hairfastgan_tpu.ops.upfirdn2d import make_fir_kernel
+
+    taps = np.flip(make_fir_kernel(tuple(int(v) for v in blur_kernel), gain))
+    pk = len(taps)
+    kh, kw, cin, cout = w.shape
+    k = jnp.zeros((kh + pk - 1, kw + pk - 1, cin, cout), dtype)
+    wd = w.astype(dtype)
+    for bu in range(pk):
+        for bv in range(pk):
+            k = k.at[bu:bu + kh, bv:bv + kw].add(wd * float(taps[bu] * taps[bv]))
+    return k
 
 
 def _style_scale(p, style: Array, x_dtype) -> Array:
@@ -57,6 +79,7 @@ def modulated_conv2d(
     up: bool = False,
     down: bool = False,
     blur_kernel: Tuple[int, ...] = (1, 3, 3, 1),
+    fuse_blur: bool = False,
 ) -> Array:
     """NHWC modulated conv matching ModulatedConv2d.forward (model.py:238-279).
 
@@ -75,6 +98,27 @@ def modulated_conv2d(
 
     if up:
         factor = 2
+        if fuse_blur:
+            # Single fused (k+pk-1)^2 lhs-dilated conv (blur composed into
+            # the kernel; see _fuse_blur_kernel). Exact, but MEASURED SLOWER
+            # on v5e (full render 41 -> 59 ms: the 4x MAC increase beats the
+            # saved blur HBM passes — these convs are MXU-bound). Kept as an
+            # opt-in for future hardware; default is the two-pass path.
+            pk = len(blur_kernel)
+            pp = (pk - factor) - (kh - 1)
+            pad = ((pp + 1) // 2 + factor - 1, pp // 2 + 1)
+            k_fused = _fuse_blur_kernel(w, blur_kernel, float(factor ** 2),
+                                        x.dtype)
+            y = conv2d(
+                xm, k_fused, stride=1,
+                padding=[(pad[0] + kh - 1, pad[1] + kh - 1),
+                         (pad[0] + kw - 1, pad[1] + kw - 1)],
+                lhs_dilation=factor,
+            )
+            if demodulate:
+                d = _demod_coeff(p["w"], s, fan_scale).astype(x.dtype)
+                y = y * d[:, None, None, :]
+            return y
         # conv_transpose2d(stride=2, padding=0) == lhs-dilated conv with
         # padding (k-1) on both sides of each axis (kernel pre-flipped).
         y = conv2d(

@@ -231,3 +231,20 @@ def test_upfirdn2d_gradient(rng):
     ref = tg.upfirdn2d_torch(xt, tg.make_kernel_torch(k1d), 2, 1, (2, 1))
     torch.sum(ref ** 2).backward()
     np.testing.assert_allclose(nchw(g), xt.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_modulated_conv2d_fused_blur_equivalent(rng):
+    """Opt-in fused up-blur kernel must match the two-pass path exactly."""
+    b, cin, cout, k, hw = 2, 6, 8, 3, 8
+    x = rng.standard_normal((b, hw, hw, cin), dtype=np.float32)
+    w = rng.standard_normal((k, k, cin, cout), dtype=np.float32)
+    style = rng.standard_normal((b, 16), dtype=np.float32)
+    p = {"w": jnp.asarray(w),
+         "modulation": {"w": jnp.asarray(rng.standard_normal((16, cin),
+                                                             dtype=np.float32)),
+                        "b": jnp.ones(cin, jnp.float32)}}
+    y0 = ops.modulated_conv2d(p, jnp.asarray(x), jnp.asarray(style), up=True)
+    y1 = ops.modulated_conv2d(p, jnp.asarray(x), jnp.asarray(style), up=True,
+                              fuse_blur=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
