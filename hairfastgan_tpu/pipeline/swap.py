@@ -9,6 +9,7 @@ argument — each case compiles to its own fully-static XLA program:
   'distinct'        all three images differ (the general path)
   'shape_eq_color'  shape is color        -> one shape module, reuse HM_X
   'face_eq_shape'   face is shape         -> F_align = F_face fast path
+  'face_eq_color'   face is color         -> color shape-module same path
   'same'            all equal             -> reconstruction-only path
 
 Inputs are [B,1024,1024,3] float images in [0,1] (batched triples: every
@@ -30,7 +31,7 @@ from hairfastgan_tpu.pipeline.embedding import embed_images
 
 Array = jax.Array
 
-CASES = ("distinct", "shape_eq_color", "face_eq_shape", "same")
+CASES = ("distinct", "shape_eq_color", "face_eq_shape", "face_eq_color", "same")
 
 
 def swap_cases(face, shape, color) -> str:
@@ -41,6 +42,8 @@ def swap_cases(face, shape, color) -> str:
         return "shape_eq_color"
     if face is shape:
         return "face_eq_shape"
+    if face is color:
+        return "face_eq_color"
     return "distinct"
 
 
@@ -80,6 +83,11 @@ def hair_fast(
         emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
         e_face = e_shape = {k: v[:b] for k, v in emb.items()}
         e_color = {k: v[b:] for k, v in emb.items()}
+    elif case == "face_eq_color":
+        stacked = jnp.concatenate([face, shape], axis=0)
+        emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
+        e_face = e_color = {k: v[:b] for k, v in emb.items()}
+        e_shape = {k: v[b:] for k, v in emb.items()}
     else:
         stacked = jnp.concatenate([face, shape, color], axis=0)
         emb = embed_images(zoo, stacked, mix=True, cfg=cfg, dtype=dtype)
@@ -95,13 +103,15 @@ def hair_fast(
         zoo, e_face, e_shape, same=case in ("face_eq_shape", "same"),
         cfg=cfg, dtype=dtype, noise_key=keys[0])
 
-    # Shape module for the color image's hair region (hair_swap.py:52-57)
+    # Shape module for the color image's hair region (hair_swap.py:52-57);
+    # face==color short-circuits like the reference's identity check inside
+    # shape_module (Alignment.py:60,73: target = face's own mask)
     if case in ("shape_eq_color", "same"):
         align_color = align_shape
     else:
         align_color = shape_module(
-            zoo, e_face, e_color, same=False, cfg=cfg, dtype=dtype,
-            noise_key=keys[1])
+            zoo, e_face, e_color, same=(case == "face_eq_color"),
+            cfg=cfg, dtype=dtype, noise_key=keys[1])
 
     # Blending + PostProcess
     out = blend_images(

@@ -99,3 +99,16 @@ def test_embed_batched_independent(tiny, images):
     e1 = embed_images(zoo, face, mix=False, cfg=cfg)
     np.testing.assert_allclose(np.asarray(e2["S"][:1]), np.asarray(e1["S"]),
                                atol=2e-4)
+
+
+def test_face_eq_color_case(tiny, images):
+    zoo, cfg = tiny
+    face, shape, _ = images
+    out = hair_fast(zoo, face, shape, face, case="face_eq_color", cfg=cfg)
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swap_cases_face_eq_color(images):
+    face, shape, _ = images
+    assert swap_cases(face, shape, face) == "face_eq_color"
