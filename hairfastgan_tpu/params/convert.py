@@ -22,6 +22,8 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+from hairfastgan_tpu.models.layers import Static
+
 Array = np.ndarray
 SD = Dict[str, Array]
 
@@ -295,7 +297,9 @@ def convert_e4e(sd: SD, latent_avg: Array = None) -> dict:
         body.append(b)
     styles = []
     for i in range(_n_children(sd, "styles")):
-        n_convs = _n_children(sd, f"styles.{i}.convs") // 2
+        # convs Sequential alternates Conv2d (even idx) and LeakyReLU; the
+        # trailing LeakyReLU has no params so max index = 2*(n-1): ceil-div
+        n_convs = (_n_children(sd, f"styles.{i}.convs") + 1) // 2
         styles.append({
             "convs": [t_conv(sd, f"styles.{i}.convs.{2 * j}") for j in range(n_convs)],
             "linear": {"w": sd[f"styles.{i}.linear.weight"].T.copy(),

@@ -331,3 +331,59 @@ def test_zencoder_region_codes_parity():
                                     one_hot_mask(jnp.asarray(labels.numpy()), 19)))
     # our codes are [B,19,C(=20 here)]; torch replica matches
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_bisenet_basicblock_and_arm_parity():
+    from hairfastgan_tpu.models.bisenet import arm, basic_block
+    from hairfastgan_tpu.params.convert import _t_arm, _t_basicblock
+
+    cin, cout, s = 6, 10, 2
+
+    class BB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, s, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, s, bias=False), nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            r = self.bn2(self.conv2(TF.relu(self.bn1(self.conv1(x)))))
+            return TF.relu(self.downsample(x) + r)
+
+    m = BB().eval()
+    for bn in (m.bn1, m.bn2, m.downsample[1]):
+        randomize_bn(bn)
+    sd = {f"b.{k}": v.numpy() for k, v in m.state_dict().items()}
+    p = jax.tree.map(lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                     _t_basicblock(sd, "b", s))
+    x = torch.randn(2, cin, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(basic_block(p, to_nhwc(x))),
+        from_torch(m(x)).transpose(0, 2, 3, 1), atol=ATOL)
+
+    class ARM(nn.Module):
+        def __init__(self, ci=8, co=4):
+            super().__init__()
+            self.conv = nn.Sequential()
+            self.conv.conv = nn.Conv2d(ci, co, 3, 1, 1, bias=False)
+            self.conv.bn = nn.BatchNorm2d(co)
+            self.conv_atten = nn.Conv2d(co, co, 1, bias=False)
+            self.bn_atten = nn.BatchNorm2d(co)
+
+        def forward(self, x):
+            f = TF.relu(self.conv.bn(self.conv.conv(x)))
+            a = TF.avg_pool2d(f, f.shape[2:])
+            a = torch.sigmoid(self.bn_atten(self.conv_atten(a)))
+            return f * a
+
+    ma = ARM().eval()
+    randomize_bn(ma.conv.bn); randomize_bn(ma.bn_atten)
+    sd = {f"a.{k}": v.numpy() for k, v in ma.state_dict().items()}
+    pa = jax.tree.map(jnp.asarray, _t_arm(sd, "a"))
+    xa = torch.randn(2, 8, 8, 8)
+    np.testing.assert_allclose(
+        np.asarray(arm(pa, to_nhwc(xa))),
+        from_torch(ma(xa)).transpose(0, 2, 3, 1), atol=ATOL)
