@@ -312,3 +312,129 @@ def test_convert_star_runs():
     assert len(p["stacks"]) == 4
     assert p["e2h_w"].shape == (98, 9)
     assert "coordconv" in p["stacks"][0]["hg"]
+
+
+def test_convert_arcface_runs():
+    from hairfastgan_tpu.models.iresnet import arcface_embed
+
+    d = {}
+    add_conv(d, "conv1", 3, 64, 3)
+    add_bn(d, "bn1", 64)
+    add_prelu(d, "prelu", 64)
+    for st, (ci, co, n) in zip(("layer1", "layer2", "layer3", "layer4"),
+                               ((64, 64, 2), (64, 128, 2), (128, 256, 2),
+                                (256, 512, 2))):  # iresnet18 depth for speed
+        for i in range(n):
+            _ibasic(d, f"{st}.{i}", ci if i == 0 else co, co, i == 0)
+    add_bn(d, "bn2", 512)
+    add_linear(d, "fc", 512 * 7 * 7, 512)
+    add_bn(d, "features", 512)
+
+    p = jax.tree.map(jnp.asarray, C.convert_arcface(d))
+    emb = arcface_embed(p, jnp.zeros((1, 112, 112, 3)))
+    assert emb.shape == (1, 512)
+
+
+def test_convert_irse_backbone_runs():
+    from hairfastgan_tpu.losses.identity import convert_irse_backbone, irse_embed
+    from hairfastgan_tpu.models.e4e import _blocks_50
+
+    d = {}
+    add_conv(d, "input_layer.0", 3, 64, 3)
+    add_bn(d, "input_layer.1", 64)
+    add_prelu(d, "input_layer.2", 64)
+    for i, (ci, co, s) in enumerate(_blocks_50()):
+        n = f"body.{i}"
+        add_bn(d, f"{n}.res_layer.0", ci)
+        add_conv(d, f"{n}.res_layer.1", ci, co, 3)
+        add_prelu(d, f"{n}.res_layer.2", co)
+        add_conv(d, f"{n}.res_layer.3", co, co, 3)
+        add_bn(d, f"{n}.res_layer.4", co)
+        add_conv(d, f"{n}.res_layer.5.fc1", co, co // 16, 1)
+        add_conv(d, f"{n}.res_layer.5.fc2", co // 16, co, 1)
+        if ci != co:
+            add_conv(d, f"{n}.shortcut_layer.0", ci, co, 1)
+            add_bn(d, f"{n}.shortcut_layer.1", co)
+    add_bn(d, "output_layer.0", 512)
+    add_linear(d, "output_layer.3", 512 * 7 * 7, 512)
+    add_bn(d, "output_layer.4", 512)
+
+    p = jax.tree.map(jnp.asarray, convert_irse_backbone(d))
+    emb = irse_embed(p, jnp.zeros((1, 112, 112, 3)))
+    assert emb.shape == (1, 512)
+
+
+def test_convert_clip_tower_runs():
+    from hairfastgan_tpu.models.clip_vit import clip_encode_image, clip_preprocess
+
+    width, layers, heads = 64, 2, 1
+    d = {"visual.conv1.weight": rng.randn(width, 3, 32, 32).astype(np.float32) * 0.05,
+         "visual.class_embedding": np.zeros(width, np.float32),
+         "visual.positional_embedding": np.zeros((50, width), np.float32),
+         "visual.proj": rng.randn(width, 512).astype(np.float32) * 0.05}
+    for n in ("ln_pre", "ln_post"):
+        d[f"visual.{n}.weight"] = np.ones(width, np.float32)
+        d[f"visual.{n}.bias"] = np.zeros(width, np.float32)
+    for i in range(layers):
+        b = f"visual.transformer.resblocks.{i}"
+        d[f"{b}.attn.in_proj_weight"] = rng.randn(3 * width, width).astype(np.float32) * 0.05
+        d[f"{b}.attn.in_proj_bias"] = np.zeros(3 * width, np.float32)
+        add_linear(d, f"{b}.attn.out_proj", width, width)
+        add_linear(d, f"{b}.mlp.c_fc", width, 4 * width)
+        add_linear(d, f"{b}.mlp.c_proj", 4 * width, width)
+        for ln in ("ln_1", "ln_2"):
+            d[f"{b}.{ln}.weight"] = np.ones(width, np.float32)
+            d[f"{b}.{ln}.bias"] = np.zeros(width, np.float32)
+
+    p = jax.tree.map(jnp.asarray, C.convert_clip_image_tower(d))
+    emb = clip_encode_image(p, clip_preprocess(jnp.zeros((1, 224, 224, 3))))
+    assert emb.shape == (1, 512)
+
+
+def test_convert_lpips_alex_runs():
+    from hairfastgan_tpu.losses.perceptual import convert_lpips_alex, lpips
+
+    alex = {}
+    geom = [("0", 3, 64, 11), ("3", 64, 192, 5), ("6", 192, 384, 3),
+            ("8", 384, 256, 3), ("10", 256, 256, 3)]
+    for n, ci, co, k in geom:
+        add_conv(alex, n, ci, co, k, bias=True)
+    lin = {}
+    for i, c in enumerate((64, 192, 384, 256, 256)):
+        add_conv(lin, f"lin{i}.model.1", c, 1, 1)
+    p = jax.tree.map(jnp.asarray, convert_lpips_alex(alex, lin))
+    x = jnp.zeros((1, 64, 64, 3))
+    assert float(lpips(p, x, x)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_convert_inception_runs():
+    from hairfastgan_tpu.models.inception import (
+        _BRANCH_MAP, _TV_MAP, convert_inception, inception_features)
+
+    # build a synthetic torchvision state dict from our own init shapes
+    from hairfastgan_tpu.models.inception import init_inception
+
+    shapes = jax.eval_shape(lambda: init_inception(jax.random.PRNGKey(0)))
+    d = {}
+
+    def emit(tv_name, cbn_shapes):
+        w = cbn_shapes["conv"]["w"].shape  # HWIO
+        add_conv(d, f"{tv_name}.conv", w[2], w[3], (w[0], w[1])[0]) \
+            if w[0] == w[1] else None
+        if w[0] != w[1]:
+            d[f"{tv_name}.conv.weight"] = rng.randn(
+                w[3], w[2], w[0], w[1]).astype(np.float32) * 0.05
+        add_bn(d, f"{tv_name}.bn", w[3])
+
+    for ours, tv in _TV_MAP.items():
+        if ours.startswith("stem."):
+            emit(tv, shapes["stem"][ours.split(".")[1]])
+            continue
+        kind = ("a" if ours.startswith("a") else "b" if ours == "b" else
+                "c" if ours.startswith("c") else "d" if ours == "d" else "e")
+        for k, v in _BRANCH_MAP[kind].items():
+            emit(f"{tv}.{v}", shapes[ours][k])
+
+    p = jax.tree.map(jnp.asarray, convert_inception(d))
+    f = inception_features(p, jnp.zeros((1, 96, 96, 3)))
+    assert f.shape == (1, 2048)
