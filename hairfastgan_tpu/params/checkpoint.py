@@ -21,22 +21,70 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _static_sidecar(path: Path) -> Path:
+    return Path(f"{Path(path).absolute()}_static.pkl")
+
+
+def _iter_statics(tree, prefix=()):
+    """Yield (path, value) for every Static config node in a plain pytree."""
+    from hairfastgan_tpu.models.layers import Static
+
+    if isinstance(tree, Static):
+        yield prefix, tree.value
+    elif isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_statics(v, prefix + (k,))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _iter_statics(v, prefix + (i,))
+
+
+def _set_path(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+
+
 def save_pytree(path: Path, tree: Any, strip: Sequence[str] = ()) -> None:
-    """Save a parameter pytree; `strip` drops frozen sub-trees (e.g. 'clip')."""
+    """Save a parameter pytree; `strip` drops frozen sub-trees (e.g. 'clip').
+
+    `Static` config nodes (models/layers.Static) are register_static — orbax
+    stores them as empty subtrees — so their values go into a pickle sidecar
+    next to the checkpoint directory and are re-attached by restore_pytree.
+    """
+    import pickle
+
     if strip:
         tree = {k: v for k, v in tree.items() if k not in strip} \
             if isinstance(tree, dict) else tree
     _checkpointer().save(Path(path).absolute(), tree, force=True)
+    statics = dict(_iter_statics(tree))
+    side = _static_sidecar(path)
+    if statics:
+        side.write_bytes(pickle.dumps(statics))
+    elif side.exists():
+        side.unlink()
 
 
 def restore_pytree(path: Path, like: Optional[Any] = None) -> Any:
+    import pickle
+
     import orbax.checkpoint as ocp
+
+    from hairfastgan_tpu.models.layers import Static
 
     ckptr = _checkpointer()
     if like is not None:
-        return ckptr.restore(Path(path).absolute(),
+        tree = ckptr.restore(Path(path).absolute(),
                              restore_args=ocp.checkpoint_utils.construct_restore_args(like))
-    return ckptr.restore(Path(path).absolute())
+    else:
+        tree = ckptr.restore(Path(path).absolute())
+    side = _static_sidecar(path)
+    if side.exists():
+        for p, value in pickle.loads(side.read_bytes()).items():
+            _set_path(tree, p, Static(value))
+    return tree
 
 
 def save_train_state(path: Path, params: Any, opt_state: Any, step: int,

@@ -167,6 +167,39 @@ def convert_stylegan2(sd: SD) -> dict:
     return params
 
 
+def convert_discriminator(sd: SD, size: int = 1024) -> dict:
+    """rosinality Discriminator state_dict (model.py:667-725) ->
+    models/stylegan2_discriminator.init_discriminator-shaped tree.
+
+    Layout: convs.0 = ConvLayer(3, ch, 1) [EqualConv2d, FusedLeakyReLU];
+    convs.1..N = ResBlocks whose conv2/skip are Sequential(Blur, EqualConv2d,
+    [FusedLeakyReLU]) — the Blur 'kernel' buffers are fixed (1,3,3,1) and
+    regenerated by the apply fn, so only weights/biases map.
+    """
+    import math
+
+    log_size = int(math.log2(size))
+    p = {
+        "conv_in": {"conv": {"w": sd["convs.0.0.weight"].transpose(2, 3, 1, 0).copy()},
+                    "bias": sd["convs.0.1.bias"].copy()},
+        "blocks": [],
+        "final_conv": {"conv": {"w": sd["final_conv.0.weight"].transpose(2, 3, 1, 0).copy()},
+                       "bias": sd["final_conv.1.bias"].copy()},
+        "final_linear1": t_linear(sd, "final_linear.0"),
+        "final_linear2": t_linear(sd, "final_linear.1"),
+    }
+    for j in range(1, log_size - 1):
+        n = f"convs.{j}"
+        p["blocks"].append({
+            "conv1": {"conv": {"w": sd[f"{n}.conv1.0.weight"].transpose(2, 3, 1, 0).copy()},
+                      "bias": sd[f"{n}.conv1.1.bias"].copy()},
+            "conv2": {"conv": {"w": sd[f"{n}.conv2.1.weight"].transpose(2, 3, 1, 0).copy()},
+                      "bias": sd[f"{n}.conv2.2.bias"].copy()},
+            "skip": {"conv": {"w": sd[f"{n}.skip.1.weight"].transpose(2, 3, 1, 0).copy()}},
+        })
+    return p
+
+
 # ---------------------------------------------------------------------------
 # insightface IResNet trunk (ArcFace / FSE / PostProcess encoders)
 # ---------------------------------------------------------------------------

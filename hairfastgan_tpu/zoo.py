@@ -115,19 +115,24 @@ def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict
 
 
 def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Dict:
-    """Convert the reference's pretrained_models/ tree into a zoo pytree.
+    """Load the zoo pytree from a checkpoint directory.
 
-    Expects the reference checkpoint layout (SURVEY.md §2.12). Every
-    converter is in params/convert.py; missing files raise with the file
-    name so partial zoos can be diagnosed.
+    Fast path: `<dir>/zoo` written by scripts/convert_checkpoints.py (orbax,
+    seconds to restore). Fallback: the reference's raw pretrained_models/
+    torch layout (SURVEY.md §2.12), converted on the fly via
+    params/convert.py; missing files raise with the file name so partial
+    zoos can be diagnosed.
     """
     import numpy as np
 
     from hairfastgan_tpu.params import convert as C
 
     d = Path(checkpoint_dir)
+    if (d / "zoo").exists():
+        from hairfastgan_tpu.params.checkpoint import restore_pytree
 
-    sg = C.load_torch_state_dict(str(d / "StyleGAN/ffhq.pt"))
+        return jax.tree.map(jnp.asarray, restore_pytree(d / "zoo"))
+
     import torch
 
     raw = torch.load(str(d / "StyleGAN/ffhq.pt"), map_location="cpu", weights_only=False)

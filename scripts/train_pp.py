@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--use_adv", action="store_true")
+    ap.add_argument("--disc_pkl", type=Path, default=None,
+                    help="NVlabs ffhq.pkl to start the adversarial phase from "
+                         "the pretrained D (reference pp_train.py:59-63); "
+                         "defaults to <torch_dir>/StyleGAN/ffhq.pkl if present")
+    ap.add_argument("--torch_dir", type=Path, default=Path("pretrained_models"),
+                    help="reference pretrained_models/ tree (for ffhq.pkl)")
     ap.add_argument("--iter_before", type=int, default=0,
                     help="steps before the adversarial term kicks in")
     ap.add_argument("--d_reg_every", type=int, default=16)
@@ -84,7 +90,20 @@ def main():
 
     disc_params = d_opt = None
     if args.use_adv:
-        disc_params = replicate(plan, init_discriminator(key, cfg.stylegan))
+        pkl = args.disc_pkl or (args.torch_dir / "StyleGAN" / "ffhq.pkl")
+        if pkl.exists():
+            from hairfastgan_tpu.params.nvlabs import load_nvlabs_discriminator
+
+            disc_params = jax.tree.map(
+                jnp.asarray, load_nvlabs_discriminator(str(pkl),
+                                                       size=cfg.stylegan.size))
+            print(f"adversarial phase starts from pretrained D: {pkl}")
+        else:
+            disc_params = init_discriminator(key, cfg.stylegan)
+            print(f"WARNING: {pkl} not found — adversarial phase starts from "
+                  "a RANDOM discriminator (the reference uses the pretrained "
+                  "ffhq.pkl D, pp_train.py:59-63)")
+        disc_params = replicate(plan, disc_params)
         d_opt = replicate(plan, d_tx.init(disc_params))
 
     rows = sorted(Path(args.data_dir).glob("*.npz"))

@@ -53,6 +53,25 @@ def test_swap_save_all_dumps(hf):
     assert z["latent_F_align"].shape[-1] == 512
 
 
+def test_zoo_orbax_roundtrip(hf, tmp_path):
+    """convert_checkpoints writes <dir>/zoo (orbax); HairFast must restore it
+    via load_zoo's fast path and produce the identical parameter tree."""
+    import dataclasses
+
+    from hairfastgan_tpu.params.checkpoint import save_pytree
+    from hairfastgan_tpu.zoo import load_zoo
+
+    save_pytree(tmp_path / "zoo", hf.zoo)
+    restored = load_zoo(tmp_path, hf.cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), hf.zoo, restored)
+
+    cfg = dataclasses.replace(hf.cfg, checkpoint_dir=tmp_path)
+    hf2 = HairFast(cfg)  # __init__ -> load_zoo(orbax) path
+    leaves = jax.tree.leaves(hf2.zoo)
+    assert len(leaves) == len(jax.tree.leaves(hf.zoo))
+
+
 def test_swap_uint8_chw_coercion(hf):
     rng = np.random.RandomState(2)
     size = hf.cfg.stylegan.size

@@ -1,0 +1,378 @@
+"""Parity tests against the ACTUAL reference modules in /root/reference.
+
+Round-1 parity tests compared our JAX blocks against torch replicas written
+in the test files — a wrong architectural assumption would be replicated on
+both sides. Here the REAL reference classes are imported on CPU:
+
+  - a sys.modules shim replaces `models.stylegan2.op` (whose import JIT-
+    compiles CUDA kernels) with the pure-torch implementations from
+    tests/torch_golden.py — the reference's own CPU fallbacks are
+    behaviorally identical (models/stylegan2/op/upfirdn2d.py:159-200,
+    fused_act.py:86-93);
+  - `clip` / `gdown` (absent from this env) get tiny stand-ins;
+  - `.cuda()` calls and cuda map_locations are redirected to CPU.
+
+Each test random-inits a reference module, feeds its state_dict() through
+params/convert.py, and asserts output parity — so a wrong converter/layout
+assumption fails CI without needing the real checkpoints.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+torch.manual_seed(3407)
+ATOL = 3e-4
+
+
+# ---------------------------------------------------------------------------
+# shims (installed once, before any reference import)
+# ---------------------------------------------------------------------------
+
+_SHIMMED = False
+
+
+def _install_shims():
+    global _SHIMMED
+    if _SHIMMED:
+        return
+    _SHIMMED = True
+
+    from tests.torch_golden import fused_leaky_relu_torch, upfirdn2d_torch
+
+    # CPU redirects: the reference hardcodes .cuda() / map_location='cuda'
+    # (e.g. models/face_parsing/model.py:15, models/Encoders.py:112)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+    _torch_load = torch.load
+    torch.load = lambda *a, **k: _torch_load(
+        *a, **{**k, "map_location": "cpu", "weights_only": False})
+
+    # pure-torch op package (independently derived; see tests/torch_golden.py)
+    op = types.ModuleType("models.stylegan2.op")
+
+    def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+        return upfirdn2d_torch(input, kernel, up, down, pad)
+
+    def fused_leaky_relu(input, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+        if bias is None:
+            return TF.leaky_relu(input, negative_slope) * scale
+        return fused_leaky_relu_torch(input, bias, negative_slope, scale)
+
+    class FusedLeakyReLU(nn.Module):
+        def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+            super().__init__()
+            self.bias = nn.Parameter(torch.zeros(channel))
+            self.negative_slope = negative_slope
+            self.scale = scale
+
+        def forward(self, input):
+            return fused_leaky_relu(input, self.bias, self.negative_slope,
+                                    self.scale)
+
+    op.upfirdn2d = upfirdn2d
+    op.fused_leaky_relu = fused_leaky_relu
+    op.FusedLeakyReLU = FusedLeakyReLU
+    sys.modules["models.stylegan2.op"] = op
+
+    # pip deps absent from this image
+    clip_mod = types.ModuleType("clip")
+
+    class _DummyClip(nn.Module):
+        """Deterministic stand-in: embed = spatial mean @ fixed projection."""
+
+        def __init__(self):
+            super().__init__()
+            g = torch.Generator().manual_seed(7)
+            self.register_buffer(
+                "proj", torch.randn(3, 512, generator=g) * 0.3)
+
+        def encode_image(self, x):
+            return x.float().mean(dim=(2, 3)) @ self.proj
+
+    clip_mod.load = lambda name, device=None, **k: (_DummyClip(), None)
+    sys.modules["clip"] = clip_mod
+    sys.modules.setdefault("gdown", types.ModuleType("gdown"))
+
+    # zero egress: Resnet18.init_weight downloads torchvision resnet18
+    # weights (face_parsing/resnet.py:82-90); random init is what we want
+    import torch.utils.model_zoo as model_zoo
+
+    model_zoo.load_url = lambda *a, **k: {}
+
+    # torchvision (absent): the reference only touches Compose/Normalize/
+    # Resize/ToPILImage at import or in paths we exercise
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for t in self.ts:
+                    x = t(x)
+                return x
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, x):
+                return (x - self.mean.to(x.dtype)) / self.std.to(x.dtype)
+
+        class Resize:
+            def __init__(self, size, **k):
+                self.size = tuple(size) if not isinstance(size, int) else (size, size)
+
+            def __call__(self, x):
+                return TF.interpolate(x, size=self.size, mode="bilinear",
+                                      align_corners=False)
+
+        class ToPILImage:
+            def __call__(self, x):
+                raise NotImplementedError("PIL path unused in parity tests")
+
+        tvt.Compose, tvt.Normalize, tvt.Resize = Compose, Normalize, Resize
+        tvt.ToPILImage = ToPILImage
+        tv.transforms = tvt
+        tv.models = types.ModuleType("torchvision.models")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.utils"] = tv.utils
+
+    for p in (str(REF), str(REF / "models/FeatureStyleEncoder")):
+        if p not in sys.path:
+            sys.path.append(p)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _install_shims()
+    return None
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def sd_numpy(module: nn.Module) -> dict:
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def randomize(module: nn.Module, bn_stats: bool = True):
+    """Perturb the parts default torch init leaves degenerate (BN stats,
+    affine=1/0, PReLU 0.25) so conversion bugs can't hide behind identities."""
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)) or \
+                    type(m).__name__ == "SynchronizedBatchNorm2d":
+                if bn_stats and m.running_mean is not None:
+                    m.running_mean.normal_(0, 0.3, generator=g)
+                    m.running_var.uniform_(0.5, 1.5, generator=g)
+                if m.weight is not None:
+                    m.weight.normal_(1, 0.2, generator=g)
+                    m.bias.normal_(0, 0.2, generator=g)
+            elif isinstance(m, nn.PReLU):
+                m.weight.normal_(0.25, 0.1, generator=g)
+            elif isinstance(m, (nn.LayerNorm, nn.InstanceNorm2d)):
+                if getattr(m, "weight", None) is not None:
+                    m.weight.normal_(1, 0.2, generator=g)
+                    m.bias.normal_(0, 0.2, generator=g)
+    return module
+
+
+def to_nhwc(t: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def nchw(a) -> np.ndarray:
+    return np.asarray(a).transpose(0, 3, 1, 2)
+
+
+def assert_close(torch_out, jax_out, atol=ATOL, name=""):
+    """Scale-relative comparison: random-init deep trunks (iresnet50 with
+    randomized BN stats) legitimately reach 1e20+ magnitudes, where float32
+    elementwise tolerances fail on catastrophic-cancellation points."""
+    a = torch_out.detach().numpy()
+    b = np.asarray(jax_out, dtype=np.float32)
+    scale = max(1.0, float(np.abs(a).max()))
+    np.testing.assert_allclose(a / scale, b / scale, atol=atol, rtol=0,
+                               err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 generator (models/stylegan2/model.py:368-594)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sg2_pair(ref):
+    from models.stylegan2.model import Generator
+
+    from hairfastgan_tpu.config import StyleGANConfig
+    from hairfastgan_tpu.params.convert import convert_stylegan2
+
+    size = 256
+    g = Generator(size, 512, 8, channel_multiplier=2).eval()
+    cfg = StyleGANConfig(size=size)
+    params = jax.tree.map(jnp.asarray, convert_stylegan2(sd_numpy(g)))
+    return g, params, cfg
+
+
+def test_generator_full_parity(sg2_pair):
+    from hairfastgan_tpu.models import stylegan2 as sg
+
+    g, params, cfg = sg2_pair
+    w = torch.randn(2, cfg.n_latent, 512) * 0.7
+    noise_t = [torch.zeros(1, 1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2))
+               for i in range(cfg.num_layers)]
+    with torch.no_grad():
+        img_t, _ = g([w], input_is_latent=True, noise=noise_t)
+    img_j = sg.generate(params, jnp.asarray(w.numpy()), cfg=cfg)
+    assert_close(img_t, nchw(img_j), atol=5e-4, name="full render")
+
+
+def test_generator_mapping_parity(sg2_pair):
+    from hairfastgan_tpu.models import stylegan2 as sg
+
+    g, params, cfg = sg2_pair
+    z = torch.randn(4, 512)
+    with torch.no_grad():
+        w_t = g.style(z)
+    w_j = sg.mapping(params, jnp.asarray(z.numpy()), cfg=cfg)
+    assert_close(w_t, w_j, name="mapping")
+
+
+def test_generator_slice_resume_parity(sg2_pair):
+    """F-space slicing: G[0..3] -> layer_in resume at G[4..] must match the
+    reference's start_layer/end_layer/layer_in semantics (model.py:534-557)."""
+    from hairfastgan_tpu.models import stylegan2 as sg
+
+    g, params, cfg = sg2_pair
+    w = torch.randn(1, cfg.n_latent, 512) * 0.7
+    noise_t = [torch.zeros(1, 1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2))
+               for i in range(cfg.num_layers)]
+    with torch.no_grad():
+        f_t, _ = g([w], input_is_latent=True, noise=noise_t,
+                   start_layer=0, end_layer=3)
+        img_t, _ = g([w], input_is_latent=True, noise=noise_t,
+                     start_layer=4, end_layer=8, layer_in=f_t)
+
+    wj = jnp.asarray(w.numpy())
+    f_j, _ = sg.synthesis(params, wj, start_layer=0, end_layer=3, cfg=cfg)
+    assert_close(f_t, nchw(f_j), name="F tensor (end_layer=3)")
+    _, img_j = sg.synthesis(params, wj, start_layer=4, end_layer=8,
+                            layer_in=jnp.asarray(f_t.numpy().transpose(0, 2, 3, 1)),
+                            cfg=cfg)
+    assert_close(img_t, nchw(img_j), atol=5e-4, name="resume render")
+
+
+def test_discriminator_parity(ref):
+    from models.stylegan2.model import Discriminator
+
+    from hairfastgan_tpu.models.stylegan2_discriminator import discriminator
+    from hairfastgan_tpu.params.convert import convert_discriminator
+
+    size = 128
+    d = Discriminator(size, channel_multiplier=2).eval()
+    p = jax.tree.map(jnp.asarray, convert_discriminator(sd_numpy(d), size=size))
+    x = torch.randn(4, 3, size, size) * 0.5
+    with torch.no_grad():
+        y_t = d(x)
+    y_j = discriminator(p, to_nhwc(x))
+    assert_close(y_t, y_j, atol=1e-3, name="discriminator logits")
+
+
+# ---------------------------------------------------------------------------
+# e4e Encoder4Editing (psp_encoders.py:126-200)
+# ---------------------------------------------------------------------------
+
+def test_e4e_parity(ref):
+    from models.encoder4editing.models.encoders.psp_encoders import (
+        Encoder4Editing)
+
+    from hairfastgan_tpu.models.e4e import e4e_encode
+    from hairfastgan_tpu.params.convert import convert_e4e
+
+    enc = Encoder4Editing(50, "ir_se",
+                          SimpleNamespace(stylegan_size=1024)).eval()
+    randomize(enc)
+    p = jax.tree.map(jnp.asarray,
+                     convert_e4e(sd_numpy(enc), latent_avg=np.zeros((18, 512),
+                                                                    np.float32)))
+    x = torch.randn(1, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        w_t = enc(x)
+    w_j = e4e_encode(p, to_nhwc(x), add_latent_avg=False)
+    assert_close(w_t, w_j, atol=1e-3, name="e4e W+")
+
+
+# ---------------------------------------------------------------------------
+# FeatureStyleEncoder fs_encoder_v2 (nets/feature_style_encoder.py:12-65)
+# ---------------------------------------------------------------------------
+
+def test_fse_parity(ref, tmp_path):
+    import arcface.iresnet as ai
+    from nets.feature_style_encoder import fs_encoder_v2
+
+    from hairfastgan_tpu.models.iresnet import fs_encode
+    from hairfastgan_tpu.params.convert import convert_fs_encoder
+
+    ck = tmp_path / "backbone.pth"
+    torch.save(ai.iresnet50().state_dict(), str(ck))
+    enc = fs_encoder_v2(n_styles=18,
+                        opts=SimpleNamespace(arcface_model_path=str(ck)),
+                        stride=(2, 2)).eval()
+    randomize(enc)
+    p = jax.tree.map(jnp.asarray,
+                     convert_fs_encoder(sd_numpy(enc), fs_layers=(5,)))
+    x = torch.randn(1, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        s_t, content_t = enc(x)
+    s_j, [content_j] = fs_encode(p, to_nhwc(x))
+    assert_close(content_t, nchw(content_j), atol=1e-3, name="FSE content")
+    assert_close(s_t, s_j, atol=1e-3, name="FSE styles")
+
+
+# ---------------------------------------------------------------------------
+# BiSeNet (models/face_parsing/model.py:236-260)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_classes", [19, 16])
+def test_bisenet_parity(ref, n_classes):
+    from models.face_parsing.model import BiSeNet
+
+    from hairfastgan_tpu.models.bisenet import bisenet_logits
+    from hairfastgan_tpu.params.convert import convert_bisenet
+
+    net = BiSeNet(n_classes=n_classes).eval()
+    randomize(net)
+    p = jax.tree.map(jnp.asarray,
+                     convert_bisenet(sd_numpy(net), n_classes=n_classes))
+    x = torch.randn(1, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        out_t, out16_t, out32_t = net(x)
+    out_j, out16_j, out32_j = bisenet_logits(p, to_nhwc(x), aux=True)
+    assert_close(out_t, nchw(out_j), atol=1e-3, name="main head")
+    assert_close(out16_t, nchw(out16_j), atol=1e-3, name="aux16")
+    assert_close(out32_t, nchw(out32_j), atol=1e-3, name="aux32")
