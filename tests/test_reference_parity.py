@@ -150,8 +150,20 @@ def _install_shims():
             def __call__(self, x):
                 raise NotImplementedError("PIL path unused in parity tests")
 
+        class ToTensor:
+            def __call__(self, x):
+                return torch.as_tensor(np.asarray(x)).permute(2, 0, 1) / 255.0
+
+        class CenterCrop:
+            def __init__(self, size):
+                self.size = size
+
+            def __call__(self, x):
+                return x
+
         tvt.Compose, tvt.Normalize, tvt.Resize = Compose, Normalize, Resize
-        tvt.ToPILImage = ToPILImage
+        tvt.ToPILImage, tvt.ToTensor, tvt.CenterCrop = (
+            ToPILImage, ToTensor, CenterCrop)
         tv.transforms = tvt
         tv.models = types.ModuleType("torchvision.models")
         tv.utils = types.ModuleType("torchvision.utils")
@@ -179,9 +191,13 @@ def sd_numpy(module: nn.Module) -> dict:
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
 
 
-def randomize(module: nn.Module, bn_stats: bool = True):
+def randomize(module: nn.Module, bn_stats: bool = True, damp: float = 1.0):
     """Perturb the parts default torch init leaves degenerate (BN stats,
-    affine=1/0, PReLU 0.25) so conversion bugs can't hide behind identities."""
+    affine=1/0, PReLU 0.25) so conversion bugs can't hide behind identities.
+
+    `damp` scales conv/linear weights down: randomized 50-layer iresnet
+    trunks otherwise grow ~3x per block and overflow float32 (NaN on the
+    torch side), which would void the comparison."""
     g = torch.Generator().manual_seed(11)
     with torch.no_grad():
         for m in module.modules():
@@ -199,6 +215,8 @@ def randomize(module: nn.Module, bn_stats: bool = True):
                 if getattr(m, "weight", None) is not None:
                     m.weight.normal_(1, 0.2, generator=g)
                     m.bias.normal_(0, 0.2, generator=g)
+            if damp != 1.0 and isinstance(m, (nn.Conv2d, nn.Linear)):
+                m.weight.mul_(damp)
     return module
 
 
@@ -343,7 +361,7 @@ def test_fse_parity(ref, tmp_path):
     enc = fs_encoder_v2(n_styles=18,
                         opts=SimpleNamespace(arcface_model_path=str(ck)),
                         stride=(2, 2)).eval()
-    randomize(enc)
+    randomize(enc, damp=0.4)
     p = jax.tree.map(jnp.asarray,
                      convert_fs_encoder(sd_numpy(enc), fs_layers=(5,)))
     x = torch.randn(1, 3, 256, 256) * 0.5
@@ -376,3 +394,210 @@ def test_bisenet_parity(ref, n_classes):
     assert_close(out_t, nchw(out_j), atol=1e-3, name="main head")
     assert_close(out16_t, nchw(out16_j), atol=1e-3, name="aux16")
     assert_close(out32_t, nchw(out32_j), atol=1e-3, name="aux32")
+
+
+# ---------------------------------------------------------------------------
+# SEAN (sean_codes: Zencoder + SPADEGenerator with ACE)
+# ---------------------------------------------------------------------------
+
+def _sean_opt():
+    """The live fields of SEAN_OPT (pix2pix_model.py:328-339)."""
+    return SimpleNamespace(
+        ngf=64, semantic_nc=19, crop_size=256, aspect_ratio=1.0,
+        num_upsampling_layers="normal",
+        norm_G="spectralspadesyncbatch3x3", status="scripts")
+
+
+@pytest.fixture(scope="module")
+def sean_pair(ref):
+    from models.sean_codes.models.networks.generator import SPADEGenerator
+
+    from hairfastgan_tpu.params.convert import convert_sean
+
+    torch.manual_seed(1)
+    gen = SPADEGenerator(_sean_opt()).eval()
+    randomize(gen)
+    p = jax.tree.map(
+        jnp.asarray,
+        convert_sean(sd_numpy(gen),
+                     mean_codes=np.zeros((19, 512), np.float32)))
+    return gen, p
+
+
+def _random_labels(b=1, size=256, n=19, seed=0):
+    return np.random.RandomState(seed).randint(0, n, (b, size, size))
+
+
+def test_sean_zencoder_parity(sean_pair):
+    from hairfastgan_tpu.models.sean import sean_encode
+
+    gen, p = sean_pair
+    img = torch.randn(1, 3, 256, 256) * 0.5
+    labels = _random_labels()
+    seg = torch.zeros(1, 19, 256, 256)
+    seg.scatter_(1, torch.from_numpy(labels)[:, None], 1.0)
+    with torch.no_grad():
+        codes_t = gen.Zencoder(input=img, segmap=seg)
+    codes_j = sean_encode(p, to_nhwc(img), jnp.asarray(labels))
+    assert_close(codes_t, codes_j, atol=1e-3, name="Zencoder codes")
+
+
+def test_sean_generator_parity(sean_pair, monkeypatch):
+    """Full SPADE/ACE decode under zero ACE noise (the deterministic default
+    of our sean_decode; reference draws randn, normalization.py:112)."""
+    from hairfastgan_tpu.models.sean import sean_decode, sean_encode
+
+    gen, p = sean_pair
+    img = torch.randn(1, 3, 256, 256) * 0.5
+    labels = _random_labels(seed=3)
+    seg = torch.zeros(1, 19, 256, 256)
+    seg.scatter_(1, torch.from_numpy(labels)[:, None], 1.0)
+
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **k: torch.zeros(*s))
+    with torch.no_grad():
+        out_t = gen(seg, img)
+
+    codes = sean_encode(p, to_nhwc(img), jnp.asarray(labels))
+    out_j = sean_decode(p, codes, jnp.asarray(labels))
+    assert_close(out_t, nchw(out_j), atol=2e-3, name="SEAN decode")
+
+
+# ---------------------------------------------------------------------------
+# CtrlHair shape adaptor (shape_branch/model.py:69-199)
+# ---------------------------------------------------------------------------
+
+def test_shape_adaptor_parity(ref):
+    from models.CtrlHair.shape_branch.model import Generator as MaskGenerator
+
+    from hairfastgan_tpu.models.shape_adaptor import (
+        get_face_code, get_hair_code, get_new_shape, mask_decode)
+    from hairfastgan_tpu.params.convert import convert_shape_adaptor
+
+    torch.manual_seed(2)
+    cfg = SimpleNamespace(hair_dim=16, g_norm="ln", vae_hair_mode=True,
+                          pos_encoding_order=10, total_batch_size=1,
+                          sample_batch_size=1)
+    gen = MaskGenerator(cfg).eval()
+    randomize(gen)
+    p = jax.tree.map(jnp.asarray, convert_shape_adaptor(sd_numpy(gen)))
+
+    labels = _random_labels(seed=5)
+    onehot = torch.zeros(1, 19, 256, 256)
+    onehot.scatter_(1, torch.from_numpy(labels)[:, None], 1.0)
+    HAIR_IDX = 13  # 'hair' in the celeba label order (global_value_utils.py:49-52)
+    hair_t = onehot[:, HAIR_IDX:HAIR_IDX + 1]
+    face_t = torch.cat([onehot[:, :HAIR_IDX], onehot[:, HAIR_IDX + 1:]], 1)
+
+    with torch.no_grad():
+        _, hair_code_t, _ = gen.hair_encoder(hair_t)       # VAE mean path
+        face_code_t = gen.forward_face_encoder(face_t)
+        hair_logit_t = gen.forward_hair_decoder(hair_code_t, face_code_t)
+        face_logit_t = gen.forward_face_decoder(face_code_t)
+        mask_t = gen.forward_decode_by_code(hair_code_t, face_code_t)
+
+    lj = jnp.asarray(labels)
+    hair_code_j = get_hair_code(p, lj)
+    face_code_j = get_face_code(p, lj)
+    assert_close(hair_code_t, hair_code_j, atol=1e-3, name="hair code")
+    assert_close(face_code_t, face_code_j, atol=1e-3, name="face code")
+
+    hair_logit_j = mask_decode(
+        p["hair_decoder"], jnp.concatenate([face_code_j, hair_code_j], -1))
+    assert_close(hair_logit_t, nchw(hair_logit_j), atol=2e-3, name="hair logit")
+    face_logit_j = mask_decode(p["face_decoder"], face_code_j)
+    assert_close(face_logit_t, nchw(face_logit_j), atol=2e-3, name="face logit")
+
+    new_labels = get_new_shape(p, face_code_j, hair_code_j)
+    agree = (np.asarray(new_labels)[0] ==
+             mask_t.argmax(1).numpy()[0]).mean()
+    assert agree > 0.999, f"recombined mask agreement {agree}"
+
+
+# ---------------------------------------------------------------------------
+# Glue encoders (models/Encoders.py: Rotate / ClipBlending / PostProcess)
+# ---------------------------------------------------------------------------
+
+def test_rotate_model_parity(ref):
+    from models.Encoders import RotateModel
+
+    from hairfastgan_tpu.models.encoders import rotate_model
+    from hairfastgan_tpu.params.convert import convert_rotate
+
+    m = RotateModel().eval()
+    p = jax.tree.map(jnp.asarray, convert_rotate(sd_numpy(m)))
+    a = torch.randn(2, 6, 512) * 0.5
+    b = torch.randn(2, 6, 512) * 0.5
+    with torch.no_grad():
+        out_t = m(a, b)
+    out_j = rotate_model(p, jnp.asarray(a.numpy()), jnp.asarray(b.numpy()))
+    assert_close(out_t, out_j, name="rotate W[:, :6]")
+
+
+def test_blending_modulation_parity(ref):
+    """ClipBlendingModel with the deterministic CLIP stand-in: the real CLIP
+    tower is a pip dep in the reference (not reference code; its converter
+    has its own parity test) — here the 5x ModulationModule(12, 1536->1024)
+    stack + residual is verified against the real reference class."""
+    from models.Encoders import ClipBlendingModel
+
+    from hairfastgan_tpu.models.encoders import modulation_stack
+    from hairfastgan_tpu.ops.equalized import pixel_norm
+    from hairfastgan_tpu.params.convert import convert_blending
+
+    m = ClipBlendingModel().eval()
+    p = convert_blending(sd_numpy(m), clip_params=None)
+    mods = jax.tree.map(jnp.asarray, p["mods"])
+
+    latent_face = torch.randn(2, 12, 512) * 0.5
+    latent_color = torch.randn(2, 12, 512) * 0.5
+    target_face = torch.randn(2, 3, 224, 224) * 0.5  # 224: face_pool == id
+    hair_color = torch.randn(2, 3, 224, 224) * 0.5
+    with torch.no_grad():
+        out_t = m(latent_face, latent_color, target_face, hair_color)
+        ef = m.get_image_embed(target_face)
+        ec = m.get_image_embed(hair_color)
+
+    emb = jnp.concatenate([
+        jnp.asarray(latent_color.numpy()),
+        jnp.tile(jnp.asarray(ef.numpy())[:, None], (1, 12, 1)),
+        jnp.tile(jnp.asarray(ec.numpy())[:, None], (1, 12, 1)),
+    ], axis=-1)
+    lf = jnp.asarray(latent_face.numpy())
+    dt = modulation_stack(mods, pixel_norm(lf, axis=1), emb)
+    out_j = lf + 0.1 * dt
+    assert_close(out_t, out_j, name="blending S delta")
+
+
+def test_post_process_parity(ref, tmp_path, monkeypatch):
+    from models.Net import iresnet50
+
+    # PostProcessModel loads these two paths relative to cwd (Encoders.py:109-112)
+    (tmp_path / "pretrained_models/ArcFace").mkdir(parents=True)
+    (tmp_path / "pretrained_models/PostProcess").mkdir(parents=True)
+    torch.manual_seed(4)
+    torch.save(iresnet50().state_dict(),
+               str(tmp_path / "pretrained_models/ArcFace/backbone_ir50.pth"))
+    latent_avg = torch.randn(18, 512) * 0.1
+    torch.save(latent_avg,
+               str(tmp_path / "pretrained_models/PostProcess/latent_avg.pt"))
+    monkeypatch.chdir(tmp_path)
+
+    from models.Encoders import PostProcessModel
+
+    from hairfastgan_tpu.models.encoders import post_process_model
+    from hairfastgan_tpu.params.convert import convert_post_process
+
+    m = PostProcessModel().eval()
+    randomize(m, damp=0.4)
+    p = jax.tree.map(
+        jnp.asarray,
+        convert_post_process(sd_numpy(m), latent_avg=latent_avg.numpy()))
+
+    src = torch.randn(1, 3, 256, 256) * 0.5
+    tgt = torch.randn(1, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        s_t, f_t = m(src, tgt)
+    s_j, f_j = post_process_model(p, to_nhwc(src), to_nhwc(tgt))
+    assert_close(s_t, s_j, atol=1e-3, name="PP S_final")
+    assert_close(f_t, nchw(f_j), atol=1e-3, name="PP F_final")
