@@ -6,6 +6,13 @@ Headline metric: p50 wall time of ONE full 1024x1024 hair transfer
 reference "performs in less than a second" per transfer on an NVIDIA V100
 (reference README.md:9); vs_baseline = 1000ms / p50.
 
+The single JSON line additionally carries the full perf story:
+  throughput_b{1,4,8}  transfers/s/chip from the batched-triples program
+  stage_p50_ms         per-stage p50 (embed/shape/align/blend/render/seg),
+                       each including the ~30 ms tunnel round-trip
+  mfu_pct              XLA cost-analysis FLOPs of the fused swap program
+                       over p50, as % of v5e bf16 peak (197 TFLOP/s)
+
 Protocol mirrors utils/time.py:14-36 (device-synced laps, p50 of a warm
 session). Weights are random-initialized (identical op mix/compute to
 converted checkpoints); distinct inputs per lap + a scalar host fetch per
@@ -20,9 +27,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from hairfastgan_tpu.config import HairFastConfig
-from hairfastgan_tpu.pipeline import hair_fast
-from hairfastgan_tpu.zoo import init_zoo_fast
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
 
 def _enable_compile_cache():
@@ -33,44 +38,145 @@ def _enable_compile_cache():
         pass  # older jax without the persistent cache
 
 
+def _p50_ms(fn, args_list, warm_args):
+    """Median wall ms over one call per args tuple (distinct inputs/lap)."""
+    import math
+
+    _, probe = fn(*warm_args)
+    v = float(probe)  # compile + hard sync through the tunnel
+    if not math.isfinite(v):
+        raise FloatingPointError(
+            f"benchmarked program produced a non-finite probe ({v}) — "
+            "timing NaN work is meaningless")
+    times = []
+    for args in args_list:
+        t0 = time.perf_counter()
+        _, probe = fn(*args)
+        float(probe)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def _probe(x):
+    return jnp.sum(x[(slice(None),) + (slice(None, None, 97),) * (x.ndim - 1)]
+                   .astype(jnp.float32))
+
+
 def main():
     _enable_compile_cache()
+    from hairfastgan_tpu.config import HairFastConfig
+    from hairfastgan_tpu.pipeline import hair_fast
+    from hairfastgan_tpu.zoo import init_zoo_fast
+
     cfg = HairFastConfig()
     # numpy shape-based init (seconds), one bulk transfer to the chip
     zoo = jax.device_put(init_zoo_fast(0, cfg))
 
     n_iters = 10
     size = cfg.stylegan.size
-    triples = [
-        tuple(jax.device_put(jax.random.uniform(jax.random.PRNGKey(3 * i + j),
-                                                (1, size, size, 3)))
-              for j in range(3))
-        for i in range(n_iters + 1)
-    ]
+
+    def triple(i, b=1):
+        return tuple(jax.device_put(jax.random.uniform(
+            jax.random.PRNGKey(3 * i + j), (b, size, size, 3)))
+            for j in range(3))
 
     def swap(zoo, face, shape, color):
         out = hair_fast(zoo, face, shape, color, case="distinct", cfg=cfg,
                         dtype=jnp.bfloat16)
-        return out, jnp.sum(out[:, ::97, ::97])  # scalar probe forces full exec
+        return out, _probe(out)
 
     fn = jax.jit(swap)
-    _, probe = fn(zoo, *triples[n_iters])  # compile + warm
-    float(probe)
 
-    times = []
-    for i in range(n_iters):
-        t0 = time.perf_counter()
-        _, probe = fn(zoo, *triples[i])
-        float(probe)  # hard sync through the tunnel
-        times.append((time.perf_counter() - t0) * 1000.0)
-    times.sort()
-    p50 = times[len(times) // 2]
+    # ---- headline p50 (B=1) ----
+    laps = [(zoo, *triple(i)) for i in range(n_iters)]
+    p50 = _p50_ms(fn, laps, (zoo, *triple(n_iters)))
+
+    # ---- MFU from XLA's own cost model of the compiled program ----
+    mfu = None
+    try:
+        cost = fn.lower(*laps[0]).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = round(100.0 * flops / (p50 / 1e3) / V5E_BF16_PEAK, 2)
+    except Exception:
+        pass
+
+    # ---- throughput at B=1/4/8 (batched triples, one dispatch) ----
+    throughput = {}
+    for b in (1, 4, 8):
+        lapsb = [(zoo, *triple(100 + i, b)) for i in range(5)]
+        tb = _p50_ms(fn, lapsb, (zoo, *triple(99, b)))
+        throughput[f"throughput_b{b}"] = round(b / (tb / 1e3), 2)
+
+    # ---- per-stage p50s (each its own program; includes tunnel RTT) ----
+    from hairfastgan_tpu.models import bisenet, stylegan2
+    from hairfastgan_tpu.pipeline import alignment, blending, embedding
+
+    bf = jnp.bfloat16
+    embed_fn = jax.jit(lambda z, im: (lambda e: (e, _probe(e["F"])))(
+        embedding.embed_images(z, im, mix=True, cfg=cfg, dtype=bf)))
+    emb_laps = [(zoo, jnp.concatenate(triple(i), axis=0)) for i in range(5)]
+    stage = {"embed_b3": _p50_ms(embed_fn, emb_laps,
+                                 (zoo, jnp.concatenate(triple(90), axis=0)))}
+
+    # host-side split of one embedding into face/shape/color dicts
+    emb, _ = embed_fn(zoo, jnp.concatenate(triple(0), axis=0))
+    e_face = {k: v[0:1] for k, v in emb.items()}
+    e_shape = {k: v[1:2] for k, v in emb.items()}
+    e_color = {k: v[2:3] for k, v in emb.items()}
+
+    def vary(e, i):
+        # nudge latents so repeated laps aren't byte-identical programsinputs
+        return {k: (v + (i + 1) * 1e-4 if jnp.issubdtype(v.dtype, jnp.floating)
+                    else v) for k, v in e.items()}
+
+    shape_fn = jax.jit(lambda z, a, b_: (lambda r: (r, _probe(r["target_mask"])))(
+        alignment.shape_module(z, a, b_, same=False, cfg=cfg, dtype=bf)))
+    stage["shape_module"] = _p50_ms(
+        shape_fn, [(zoo, vary(e_face, i), vary(e_color, i)) for i in range(5)],
+        (zoo, e_face, e_color))
+
+    align_fn = jax.jit(lambda z, a, b_: (lambda r: (r, _probe(r["latent_F_align"])))(
+        alignment.align_images(z, a, b_, same=False, cfg=cfg, dtype=bf)))
+    stage["align"] = _p50_ms(
+        align_fn, [(zoo, vary(e_face, i), vary(e_shape, i)) for i in range(5)],
+        (zoo, e_face, e_shape))
+
+    align_shape, _ = align_fn(zoo, e_face, e_shape)
+    align_color, _ = shape_fn(zoo, e_face, e_color)
+    blend_fn = jax.jit(lambda z, a, c, ef, ec: (lambda r: (r, _probe(r)))(
+        blending.blend_images(z, a, c, ef, ec, cfg=cfg, dtype=bf)))
+    stage["blend_pp"] = _p50_ms(
+        blend_fn,
+        [(zoo, align_shape, align_color, vary(e_face, i), vary(e_color, i))
+         for i in range(5)],
+        (zoo, align_shape, align_color, e_face, e_color))
+
+    render_fn = jax.jit(lambda z, w: (lambda r: (r[1], _probe(r[1])))(
+        stylegan2.synthesis(z["generator"], w, cfg=cfg.stylegan, dtype=bf)))
+    n_lat = cfg.stylegan.n_latent
+    stage["g_render_1024"] = _p50_ms(
+        render_fn,
+        [(zoo, jax.random.normal(jax.random.PRNGKey(i), (1, n_lat, 512)) * 0.1)
+         for i in range(5)],
+        (zoo, jnp.zeros((1, n_lat, 512))))
+
+    seg_fn = jax.jit(lambda z, im: (lambda r: (r, _probe(r.astype(jnp.float32))))(
+        bisenet.parse_to_celeba(z["bisenet"], im)))
+    stage["bisenet_1024"] = _p50_ms(
+        seg_fn, [(zoo, triple(i)[0]) for i in range(5)], (zoo, triple(91)[0]))
 
     print(json.dumps({
         "metric": "hairfast_swap_1024_p50_ms",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(1000.0 / p50, 3),
+        **throughput,
+        "stage_p50_ms": {k: round(v, 2) for k, v in stage.items()},
+        "mfu_pct": mfu,
     }))
 
 

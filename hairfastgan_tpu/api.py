@@ -64,11 +64,31 @@ class HairFast:
             self._jitted[key] = fn
         return self._jitted[key]
 
+    def _poisson_fn(self):
+        """Jitted final composite (reference utils/image_utils.py:58-94)."""
+        if "poisson" not in self._jitted:
+            from hairfastgan_tpu.pipeline.composite import poisson_composite
+
+            @jax.jit
+            def pfn(zoo, final, face_u8):
+                face01 = face_u8.astype(jnp.float32) / 255.0
+                out = poisson_composite(zoo, final.astype(jnp.float32), face01)
+                return out, jnp.sum(out[:, 0, 0, 0])
+
+            self._jitted["poisson"] = pfn
+        return self._jitted["poisson"]
+
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
-             exp_name: Optional[str] = None) -> np.ndarray:
+             exp_name: Optional[str] = None,
+             poisson: bool = False) -> np.ndarray:
         """face/shape/color (path | PIL | ndarray | tensor-like) -> [1024,1024,3]
-        float image in [0,1]."""
+        float image in [0,1].
+
+        poisson=True additionally seamless-clones the original face photo
+        back into the result outside the (dilated) hair region — the
+        reference's optional `poisson_image_blending` post-process, solved
+        on-device instead of via the fpie subprocess."""
         size = self.cfg.stylegan.size
         imgs = [to_image_array(im, size) for im in (face_img, shape_img, color_img)]
         if align:
@@ -89,14 +109,15 @@ class HairFast:
         if benchmark:
             self.bench.start()
         out, probe = fn(self.zoo, face, shape, color, key)
+        final, inter = out if debug else (out, None)
+        if poisson:
+            final, probe = self._poisson_fn()(self.zoo, final, face)
         if benchmark:
             self.bench.lap(np.asarray(probe))
 
         if debug:
-            final, inter = out
             self._dump_intermediates(exp_name, np.asarray(final[0]), inter)
-            return np.asarray(final[0], dtype=np.float32)
-        return np.asarray(out[0], dtype=np.float32)
+        return np.asarray(final[0], dtype=np.float32)
 
     def _dump_intermediates(self, exp_name: str, final: np.ndarray, inter: Dict):
         """save_all artifact dumps (reference utils/save_utils.py usage)."""
@@ -141,13 +162,14 @@ class HairFast:
         return np.asarray(out, dtype=np.float32)
 
 
-    def swap_stream(self, triples, case: str = "distinct"):
+    def swap_stream(self, triples, case: str = "distinct", depth: int = 3):
         """Serving path: iterate (index, final_image) over many triples,
         overlapping host decode (native C++ loader) with device compute.
 
         `triples`: sequence of (face_path, shape_path, color_path). JAX
-        dispatch is async — the next triple's images are decoded and
-        transferred while the previous swap executes on the chip.
+        dispatch is async — up to `depth` swaps stay in flight on the chip
+        while further triples decode on host threads; the host only blocks
+        fetching the OLDEST in-flight result once the pipeline is full.
         """
         from hairfastgan_tpu.data.native_loader import (
             NativeImageLoader, native_available)
@@ -174,31 +196,32 @@ class HairFast:
         def ready(i):
             return all(3 * i + j in images for j in range(3))
 
+        def launch(i):
+            face, shape, color = (jnp.asarray(images.pop(3 * i + j))[None]
+                                  for j in range(3))
+            out, _ = fn(self.zoo, face, shape, color, key)
+            final = out[0] if isinstance(out, tuple) else out
+            pending.append((i, final))
+
         drained = False
         while next_needed < n or pending:
-            # drain decoded images
-            if not drained:
-                for idx, img in got:
-                    images[idx] = img
-                    if ready(next_needed):
-                        break
+            # fill the device pipeline: launch while slots are free,
+            # consuming decode results as they arrive
+            while next_needed < n and len(pending) < depth:
+                if ready(next_needed):
+                    launch(next_needed)
+                    next_needed += 1
+                elif not drained:
+                    try:
+                        idx, img = next(got)
+                        images[idx] = img
+                    except StopIteration:
+                        drained = True
                 else:
-                    drained = True
-            if (drained and next_needed < n and not ready(next_needed)
-                    and not pending):
-                missing = [3 * next_needed + j for j in range(3)
-                           if 3 * next_needed + j not in images]
-                raise IOError(f"decode failed for triple {next_needed} "
-                              f"(images {missing})")
-            # launch every consecutive ready triple (async dispatch)
-            while next_needed < n and ready(next_needed):
-                i = next_needed
-                face, shape, color = (jnp.asarray(images.pop(3 * i + j))[None]
-                                      for j in range(3))
-                out, _ = fn(self.zoo, face, shape, color, key)
-                final = out[0] if isinstance(out, tuple) else out
-                pending.append((i, final))
-                next_needed += 1
+                    missing = [3 * next_needed + j for j in range(3)
+                               if 3 * next_needed + j not in images]
+                    raise IOError(f"decode failed for triple {next_needed} "
+                                  f"(images {missing})")
             if pending:
                 i, dev = pending.pop(0)
                 yield i, np.asarray(dev[0], dtype=np.float32)

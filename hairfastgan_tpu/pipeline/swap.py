@@ -123,6 +123,8 @@ def hair_fast(
     final, blend_inter = out
     inter = {
         "W_face": e_face["W"], "S_face": e_face["S"], "F_face": e_face["F"],
+        "W_shape": e_shape["W"], "S_shape": e_shape["S"], "F_shape": e_shape["F"],
+        "W_color": e_color["W"], "S_color": e_color["S"], "F_color": e_color["F"],
         "mask_face": e_face["mask"], "mask_shape": e_shape["mask"],
         "mask_color": e_color["mask"],
         "latent_F_align": align_shape["latent_F_align"],

@@ -56,21 +56,27 @@ def make_train_step(
 
 
 class MovingAverageLoss:
-    """Host-side EMA re-weighting (rotate_train.py MovingAverageLoss):
-    each term is scaled so its running magnitude tracks the given target."""
+    """Host-side EMA loss normalization (rotate_train.py:26-42).
 
-    def __init__(self, targets: Dict[str, float], beta: float = 0.98):
-        self.targets = targets
-        self.beta = beta
-        self.ema: Dict[str, float] = {}
+    The reference scales each term by weight_k / EMA_k when composing the
+    training loss (`calc_loss`), with the EMA updated from the PREVIOUS
+    steps' magnitudes (`update` runs after backward). `multipliers` returns
+    those per-term scalars to feed into the jitted step as a traced array.
+    """
 
-    def weights(self, losses: Dict[str, float]) -> Dict[str, float]:
-        w = {}
-        for k, target in self.targets.items():
-            v = float(losses[k])
-            self.ema[k] = self.beta * self.ema.get(k, v) + (1 - self.beta) * v
-            w[k] = target / max(self.ema[k], 1e-8)
-        return w
+    def __init__(self, weights: Dict[str, float], alpha: float = 0.02):
+        self.weights_cfg = weights
+        self.alpha = alpha
+        self.vals: Dict[str, float] = {}
+
+    def update(self, losses: Dict[str, float]) -> None:
+        for k, v in losses.items():
+            v = float(v)
+            self.vals[k] = self.alpha * v + (1 - self.alpha) * self.vals.get(k, v)
+
+    def multipliers(self, keys) -> Tuple[float, ...]:
+        return tuple(self.weights_cfg.get(k, 1.0)
+                     / max(self.vals.get(k, 1.0), 1e-8) for k in keys)
 
 
 def check_finite_loss(loss, step: int) -> None:

@@ -116,7 +116,9 @@ def pp_loss(
         losses["adv"] = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
 
     total = sum(losses.values())
-    return total, dict(losses, gen_f_256=jax.lax.stop_gradient(gen_f_256))
+    return total, dict(losses,
+                       gen_f_256=jax.lax.stop_gradient(gen_f_256),
+                       gen_w_256=jax.lax.stop_gradient(gen_w_256))
 
 
 def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:

@@ -49,8 +49,14 @@ def rotate_pose_loss(
     batch: Tuple[Array, ...],
     keypoint_fn: Callable[[Array], Array],
     cfg: HairFastConfig = HairFastConfig(),
+    mults=None,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """batch: (I_from 256 [0,1], key_points_to [B,76,2], W_from, W_to)."""
+    """batch: (I_from 256 [0,1], key_points_to [B,76,2], W_from, W_to).
+
+    `mults` ([2]: points, arc_face) are the MovingAverageLoss per-term
+    scalars (rotate_train.py:155-156 normalize=True); None sums raw terms
+    (the reference's validation normalize=False path).
+    """
     i_from, kp_to, w_from, w_to = batch
     rot = encoders.rotate_model(params, w_from[:, :6], w_to[:, :6])
     latent_in = jnp.concatenate([rot, w_from[:, 6:]], axis=1)
@@ -60,21 +66,38 @@ def rotate_pose_loss(
     kp_gen = keypoint_fn(i_gen)
     kp_loss = jnp.mean(jnp.square(kp_gen - kp_to))
     id_loss = _arcface_cosine(frozen, i_gen, i_from)
-    return kp_loss + id_loss, {"mse_points": kp_loss, "arc_face": id_loss}
+    total = (kp_loss + id_loss if mults is None
+             else mults[0] * kp_loss + mults[1] * id_loss)
+    return total, {"mse_points": kp_loss, "arc_face": id_loss}
 
 
-def rotate_hair_loss(params, batch: Tuple[Array, Array]) -> Tuple[Array, Dict]:
+def rotate_hair_loss(params, batch: Tuple[Array, Array],
+                     mults=None) -> Tuple[Array, Dict]:
     """Same-pose pairs: 300x MSE(rotate(W_from, W_to), W_to[:6])."""
     w_from, w_to = batch
     rot = encoders.rotate_model(params, w_from[:, :6], w_to[:, :6])
     loss = 300.0 * jnp.mean(jnp.square(rot - w_to[:, :6]))
-    return loss, {"mse_latents": loss}
+    total = loss if mults is None else mults[0] * loss
+    return total, {"mse_latents": loss}
+
+
+def rotate_render(params, frozen: Dict, w_from: Array, w_to: Array,
+                  cfg: HairFastConfig = HairFastConfig()) -> Array:
+    """Validation render: rotate + full G + 256 downsample, [0,1]."""
+    rot = encoders.rotate_model(params, w_from[:, :6], w_to[:, :6])
+    latent_in = jnp.concatenate([rot, w_from[:, 6:]], axis=1)
+    _, i_g = stylegan2.synthesis(frozen["generator"], latent_in, cfg=cfg.stylegan)
+    return jnp.clip(to_res((i_g + 1.0) / 2.0, 256), 0, 1)
 
 
 def make_rotate_train_steps(frozen: Dict, keypoint_fn,
                             cfg: HairFastConfig = HairFastConfig(), lr: float = 1e-4):
+    """(pose_step, hair_step, tx); each step takes the MAL multiplier array
+    as its final batch argument (traced — no recompile per step)."""
     tx = adam_with_clip(lr)
     pose = make_train_step(
-        lambda p, *b: rotate_pose_loss(p, frozen, b, keypoint_fn, cfg), tx)
-    hair = make_train_step(lambda p, *b: rotate_hair_loss(p, b), tx)
+        lambda p, i, kp, wf, wt, m: rotate_pose_loss(
+            p, frozen, (i, kp, wf, wt), keypoint_fn, cfg, mults=m), tx)
+    hair = make_train_step(
+        lambda p, wf, wt, m: rotate_hair_loss(p, (wf, wt), mults=m), tx)
     return pose, hair, tx

@@ -14,10 +14,11 @@ import numpy as np
 
 from hairfastgan_tpu.utils.images import save_image01
 
-# CtrlHair PARSING_COLOR_LIST (global_value_utils.py) — 19 classes + unknown
+# CtrlHair mask_to_rgb draw_type=0 table (mask_color_util.py:25-44) — 19
+# classes + the 255->white "unk" rule folded in as a 20th row (via the clip)
 PARSING_COLORS = np.array([
-    [0, 0, 0], [204, 0, 0], [76, 153, 0], [204, 204, 0], [51, 51, 255],
-    [204, 0, 204], [0, 255, 255], [255, 204, 204], [102, 51, 0], [255, 0, 0],
+    [0, 128, 64], [204, 0, 0], [76, 153, 0], [204, 204, 0], [51, 51, 255],
+    [204, 0, 204], [0, 255, 255], [51, 255, 255], [102, 51, 0], [255, 0, 0],
     [102, 204, 0], [255, 255, 0], [0, 0, 153], [0, 0, 204], [255, 51, 153],
     [0, 204, 204], [0, 51, 0], [255, 153, 51], [0, 204, 0], [255, 255, 255],
 ], np.uint8)

@@ -105,13 +105,20 @@ def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict
     shapes = jax.eval_shape(lambda: init_zoo(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(seed)
 
-    def make(leaf):
+    def make(path, leaf):
+        # batchnorm running stats must keep their init semantics: a random
+        # "var" can be NEGATIVE and rsqrt(var+eps) NaNs the whole pipeline
+        key = path[-1].key if hasattr(path[-1], "key") else None
+        if key == "var":
+            return np.ones(leaf.shape, leaf.dtype)
+        if key == "mean":
+            return np.zeros(leaf.shape, leaf.dtype)
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             return (rng.standard_normal(leaf.shape, dtype=np.float32) * 0.05
                     ).astype(leaf.dtype)
         return np.zeros(leaf.shape, leaf.dtype)
 
-    return jax.tree.map(make, shapes)
+    return jax.tree_util.tree_map_with_path(make, shapes)
 
 
 def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Dict:

@@ -48,6 +48,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
     for exp in experiments:
         face, shape, color = (args.input_dir / p for p in exp)
         out = hair_fast.swap(face, shape, color, benchmark=args.benchmark,
+                             poisson=args.poisson,
                              exp_name="_".join(Path(p).stem for p in exp))
         name = "_".join(Path(p).stem for p in exp)
         save_image01(args.output_dir / f"{name}.png", out)
@@ -69,5 +70,9 @@ if __name__ == "__main__":
     parser.add_argument("--benchmark", action="store_true")
     parser.add_argument("--batch", type=int, default=1,
                         help="triples per device batch (TPU throughput mode)")
+    parser.add_argument("--poisson", action="store_true",
+                        help="final on-device Poisson composite of the "
+                             "original photo outside the hair region "
+                             "(reference utils/image_utils.py:58-94)")
     ns = parser.parse_args()
     main(ns, ns)

@@ -5,6 +5,10 @@ train/pp.py docstring). Trains PostProcessModel with the LossBuilderMulti
 objective; optional adversarial phase (--use_adv, --iter_before) with
 discriminator + lazy R1 every --d_reg_every steps, alpha annealing of the F
 injection (pp_train.py:133-137: alpha = min(1, step * alpha_rate)).
+
+Per-epoch validation on a held-out split (pp_train.py:185-232): loss terms
+without the adversarial component, FID-CLIP of the F-path renders against
+--fid_real_dir, [source|target|gen_W|gen_F] grids, best/last checkpoints.
 """
 
 from __future__ import annotations
@@ -51,6 +55,12 @@ def main():
     ap.add_argument("--resume", type=Path, default=None,
                     help="orbax train-state dir to resume from (restores "
                          "params/opt_state/step like pp_train.py:114-119)")
+    ap.add_argument("--test_frac", type=float, default=0.1)
+    ap.add_argument("--fid_real_dir", type=Path, default=None,
+                    help="real-face dir for per-validation FID-CLIP "
+                         "(pp_train.py:221 'FID CLIP')")
+    ap.add_argument("--grid_dir", type=Path, default=None,
+                    help="dump [source|target|gen_W|gen_F] validation grids")
     ap.add_argument("--log", type=Path, default=Path("pp_train.jsonl"))
     args = ap.parse_args()
 
@@ -107,8 +117,29 @@ def main():
         d_opt = replicate(plan, d_tx.init(disc_params))
 
     rows = sorted(Path(args.data_dir).glob("*.npz"))
+    n_val = max(1, int(len(rows) * args.test_frac))
+    val_rows, rows = rows[:n_val], rows[n_val:]
     logger = MetricLogger(str(args.log))
     step_i = 0
+    best = float("inf")
+
+    # validation loss (no adversarial term, alpha=1 — pp_train.py:196-210)
+    from hairfastgan_tpu.train.pp import pp_loss
+
+    val_fn = jax.jit(lambda p, *b: pp_loss(p, frozen, b, alpha=1.0, cfg=cfg))
+
+    fid_real = None
+    feat_fn = None
+    if args.fid_real_dir is not None:
+        from hairfastgan_tpu.eval.fid import FIDStats, clip_feature_fn
+        from scripts.fid_metric import load_dir
+
+        feat_fn = clip_feature_fn(zoo["blending"]["clip"])
+        real = load_dir(args.fid_real_dir, size=256)
+        stats = FIDStats()
+        for i in range(0, len(real), 64):
+            stats.update(feat_fn(real[i:i + 64]))
+        fid_real = stats.finalize()
 
     if args.resume is not None:
         from hairfastgan_tpu.params.checkpoint import restore_train_state
@@ -146,9 +177,51 @@ def main():
                         logger.log(r1=float(r1))
                 step_i += 1
 
+            # per-epoch validation (pp_train.py:185-232)
+            v_totals, v_terms, gen_f_all, grid_rows = [], {}, [], []
+            for b in batches(val_rows, args.batch_size, shuffle=False):
+                b = shard_batch(plan, b)
+                total, aux = val_fn(params, *b)
+                v_totals.append(float(total))
+                for k, v in aux.items():
+                    if jnp.ndim(v) == 0:
+                        v_terms.setdefault(k, []).append(float(v))
+                gf = np.clip((np.asarray(aux["gen_f_256"]) + 1) / 2, 0, 1)
+                gen_f_all.append(gf)
+                if args.grid_dir is not None:
+                    gw = np.clip((np.asarray(aux["gen_w_256"]) + 1) / 2, 0, 1)
+                    src = np.clip((np.asarray(b[0]) + 1) / 2, 0, 1)
+                    tgt = np.clip((np.asarray(b[1]) + 1) / 2, 0, 1)
+                    grid_rows.append(np.concatenate([src, tgt, gw, gf], axis=2))
+            v = float(np.mean(v_totals)) if v_totals else float("nan")
+            logger.log(val_loss=v, **{f"val_{k}": float(np.mean(vs))
+                                      for k, vs in v_terms.items()})
+
+            extra = ""
+            if feat_fn is not None and gen_f_all:
+                from hairfastgan_tpu.eval.fid import FIDStats, frechet_distance
+
+                sf = FIDStats()
+                renders = np.concatenate(gen_f_all)
+                for i in range(0, len(renders), 64):
+                    sf.update(feat_fn(renders[i:i + 64]))
+                fid = frechet_distance(*fid_real, *sf.finalize())
+                logger.log(fid_clip=fid)
+                extra = f" fid-clip {fid:.3f}"
+            if args.grid_dir is not None and grid_rows:
+                from hairfastgan_tpu.utils.images import save_image01
+                from hairfastgan_tpu.utils.save_utils import image_grid
+
+                save_image01(args.grid_dir / f"epoch_{epoch:04d}.png",
+                             image_grid(np.concatenate(grid_rows)[:100]))
+
+            print(f"epoch {epoch}: val {v:.4f}{extra} ({step_i} steps)")
             save_train_state(args.ckpt_dir / "last", params, opt_state, step_i,
                              disc_params=disc_params)
-            print(f"epoch {epoch} done ({step_i} steps)")
+            if v < best:
+                best = v
+                save_train_state(args.ckpt_dir / "best", params, opt_state,
+                                 step_i, disc_params=disc_params)
 
 
 if __name__ == "__main__":

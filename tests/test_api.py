@@ -72,6 +72,18 @@ def test_zoo_orbax_roundtrip(hf, tmp_path):
     assert len(leaves) == len(jax.tree.leaves(hf.zoo))
 
 
+def test_swap_poisson_flag(hf):
+    """swap(poisson=True) runs the on-device final composite end-to-end:
+    parse -> hair-union dilate -> multigrid clone of the original photo."""
+    rng = np.random.RandomState(7)
+    size = hf.cfg.stylegan.size
+    imgs = [rng.rand(size, size, 3).astype(np.float32) for _ in range(3)]
+    out = hf.swap(*imgs, poisson=True)
+    assert out.shape == (size, size, 3)
+    assert np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
 def test_swap_uint8_chw_coercion(hf):
     rng = np.random.RandomState(2)
     size = hf.cfg.stylegan.size
@@ -80,11 +92,30 @@ def test_swap_uint8_chw_coercion(hf):
     assert out.shape == (size, size, 3)
 
 
-@pytest.mark.skipif("HAIRFAST_SLOW_TESTS" not in __import__("os").environ,
-                    reason="13-min compile; run with HAIRFAST_SLOW_TESTS=1 "
-                           "(passed on the 8-virtual-device mesh)")
 def test_swap_batch_sharded(hf):
-    # under the 8-virtual-device conftest this exercises the DP mesh path
+    """Always-on composed-product mesh proof: swap_batch shards B=8 over the
+    8 virtual devices and runs Embedding->Align->Blend->PostProcess under the
+    DP mesh ('same' case keeps the CPU compile ~5 min; the driver's
+    dryrun_multichip additionally asserts sharded == single-device for the
+    general 'distinct' case every round)."""
+    rng = np.random.RandomState(3)
+    size = hf.cfg.stylegan.size
+    B = 8
+    one = rng.rand(1, size, size, 3).astype(np.float32)
+    faces = np.broadcast_to(one, (B, size, size, 3)).copy()
+    assert len(jax.devices()) == 8  # conftest's virtual mesh
+    out = hf.swap_batch(faces, faces, faces, case="same")
+    assert out.shape == (B, size, size, 3)
+    assert np.isfinite(out).all()
+    # the same triple on every device must give the identical image
+    np.testing.assert_allclose(out, np.broadcast_to(out[:1], out.shape),
+                               atol=1e-5)
+
+
+@pytest.mark.skipif("HAIRFAST_SLOW_TESTS" not in __import__("os").environ,
+                    reason="13-min compile; run with HAIRFAST_SLOW_TESTS=1")
+def test_swap_batch_sharded_distinct(hf):
+    # the general-path equivalent (also covered by the driver dryrun)
     rng = np.random.RandomState(3)
     size = hf.cfg.stylegan.size
     B = 8

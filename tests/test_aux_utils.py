@@ -36,6 +36,53 @@ def test_poisson_preserves_src_laplacian():
     np.testing.assert_allclose(lap_out, lap_src, atol=2e-3)
 
 
+def test_poisson_composite_reduces_seam_energy():
+    """The --poisson composite's purpose: cloning src into dst inside the
+    mask must leave a far smaller seam across the mask boundary than a
+    naive paste (reference poisson_image_blending, image_utils.py:58-94)."""
+    from hairfastgan_tpu.ops.poisson import poisson_blend_multigrid
+
+    rng = np.random.RandomState(0)
+    dst = jnp.asarray(rng.rand(1, 64, 64, 3) * 0.2 + 0.7, jnp.float32)
+    src = jnp.asarray(rng.rand(1, 64, 64, 3) * 0.2 + 0.1, jnp.float32)
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, 16:48, 16:48].set(1.0)
+
+    def seam_energy(img):
+        # squared jumps across the mask boundary (vertical + horizontal)
+        dy = (img[:, 1:] - img[:, :-1]) ** 2 * jnp.abs(mask[:, 1:] - mask[:, :-1])
+        dx = (img[:, :, 1:] - img[:, :, :-1]) ** 2 * jnp.abs(mask[:, :, 1:] - mask[:, :, :-1])
+        return float(jnp.sum(dy) + jnp.sum(dx))
+
+    naive = dst * (1 - mask) + src * mask
+    blended = poisson_blend_multigrid(src, dst, mask, n_iters=150, levels=3)
+    assert seam_energy(blended) < 0.05 * seam_energy(naive)
+
+
+def test_init_zoo_fast_bn_stats():
+    """init_zoo_fast must keep batchnorm running stats at their init
+    semantics: a random negative "var" NaNs every BN consumer (rsqrt)."""
+    from hairfastgan_tpu.config import HairFastConfig, StyleGANConfig
+    from hairfastgan_tpu.zoo import init_zoo_fast
+
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=128, max_channels=128))
+    zoo = init_zoo_fast(0, cfg)
+
+    import jax
+
+    checked = [0]
+
+    def assert_stats(path, leaf):
+        key = path[-1].key if hasattr(path[-1], "key") else None
+        if key == "var":
+            assert (np.asarray(leaf) == 1.0).all(), path
+            checked[0] += 1
+        elif key == "mean":
+            assert (np.asarray(leaf) == 0.0).all(), path
+
+    jax.tree_util.tree_map_with_path(assert_stats, zoo)
+    assert checked[0] > 50  # iresnet/e4e/bisenet BN stacks are all covered
+
+
 def test_pspace_pca_and_pnorm():
     from hairfastgan_tpu.config import StyleGANConfig
     from hairfastgan_tpu.models import stylegan2

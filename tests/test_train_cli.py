@@ -1,0 +1,98 @@
+"""Training CLI behavior tests (subprocess, tiny config, CPU).
+
+Covers the observable loop behavior VERDICT round 1 flagged: the rotate CLI
+must fail loudly without a STAR checkpoint, and a 1-epoch run must produce
+validation metrics, best/last checkpoints, and a render grid.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+N_LATENT_TINY = 12  # 128-res generator: 2*log2(128) - 2
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # don't inherit the conftest's 8-virtual-device flag: the smoke run uses
+    # batch 2, which must not be forced onto an 8-way data mesh
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    return env
+
+
+def _make_rows(tmp_path):
+    rng = np.random.RandomState(0)
+    pose = tmp_path / "pose"
+    hair = tmp_path / "hair"
+    pose.mkdir()
+    hair.mkdir()
+    for i in range(4):
+        np.savez(pose / f"{i}.npz",
+                 I_from=rng.rand(1, 256, 256, 3).astype(np.float32),
+                 kp_to=rng.rand(1, 76, 2).astype(np.float32) * 255,
+                 W_from=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1,
+                 W_to=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1)
+        np.savez(hair / f"{i}.npz",
+                 W_from=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1,
+                 W_to=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1)
+    return pose, hair
+
+
+def test_rotate_cli_fails_without_star(tmp_path):
+    """No STAR checkpoint and no --no_keypoints => hard error, not a silent
+    constant-loss run (VERDICT r1 weak #4)."""
+    pose, hair = _make_rows(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.train_rotate",
+         "--pose_dir", str(pose), "--hair_dir", str(hair),
+         "--zoo_dir", str(tmp_path / "nozoo"), "--tiny",
+         "--epochs", "1", "--batch_size", "2",
+         "--log", str(tmp_path / "log.jsonl")],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "STAR" in r.stderr or "star" in r.stderr
+
+
+def test_rotate_cli_tiny_epoch(tmp_path):
+    """One --tiny epoch: val metrics logged, best/last checkpoints, grid."""
+    pose, hair = _make_rows(tmp_path)
+    log = tmp_path / "log.jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.train_rotate",
+         "--pose_dir", str(pose), "--hair_dir", str(hair),
+         "--zoo_dir", str(tmp_path / "nozoo"), "--tiny", "--no_keypoints",
+         "--epochs", "1", "--batch_size", "2", "--test_frac", "0.5",
+         "--ckpt_dir", str(tmp_path / "ckpt"),
+         "--grid_dir", str(tmp_path / "grids"), "--log", str(log)],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert list((tmp_path / "grids").glob("epoch_*.png"))
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert any("val_loss" in rec for rec in recs)
+    assert any("mse_latents" in rec for rec in recs)
+
+
+def test_moving_average_loss_matches_reference():
+    """MovingAverageLoss mirrors rotate_train.py:26-42: multiplier =
+    weight_k / EMA_k with alpha=0.02 and EMA seeded at the first value."""
+    from hairfastgan_tpu.train.common import MovingAverageLoss
+
+    mal = MovingAverageLoss({"a": 6.0}, alpha=0.02)
+    # before any update: vals.get(key, 1) == 1
+    assert mal.multipliers(("a", "b")) == (6.0, 1.0)
+    mal.update({"a": 3.0, "b": 2.0})
+    assert mal.multipliers(("a",))[0] == pytest.approx(6.0 / 3.0)
+    mal.update({"a": 5.0})
+    ema = 0.02 * 5.0 + 0.98 * 3.0
+    assert mal.multipliers(("a", "b"))[0] == pytest.approx(6.0 / ema)
+    assert mal.multipliers(("b",))[0] == pytest.approx(1.0 / 2.0)
