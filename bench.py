@@ -67,11 +67,11 @@ def main():
     _enable_compile_cache()
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.pipeline import hair_fast
-    from hairfastgan_tpu.zoo import init_zoo_fast
+    from hairfastgan_tpu.zoo import cast_zoo, init_zoo_fast
 
     cfg = HairFastConfig()
     # numpy shape-based init (seconds), one bulk transfer to the chip
-    zoo = jax.device_put(init_zoo_fast(0, cfg))
+    zoo = jax.device_put(cast_zoo(init_zoo_fast(0, cfg)))
 
     n_iters = 10
     size = cfg.stylegan.size

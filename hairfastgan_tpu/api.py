@@ -22,7 +22,7 @@ from hairfastgan_tpu.config import HairFastConfig
 from hairfastgan_tpu.pipeline.swap import hair_fast, swap_cases
 from hairfastgan_tpu.utils.images import equal_replacer, save_image01, to_image_array
 from hairfastgan_tpu.utils.timing import BenchSession
-from hairfastgan_tpu.zoo import init_zoo, load_zoo
+from hairfastgan_tpu.zoo import cast_zoo, init_zoo, load_zoo
 
 
 class HairFast:
@@ -41,6 +41,10 @@ class HairFast:
             self.zoo = load_zoo(cfg.checkpoint_dir, cfg)
         else:
             self.zoo = init_zoo(jax.random.PRNGKey(0), cfg)
+        if cfg.compute_dtype == "bfloat16":
+            # weights-resident compute dtype: halves per-swap weight reads
+            # and removes the per-call f32->bf16 convert ops (zoo.cast_zoo)
+            self.zoo = cast_zoo(self.zoo)
         self.zoo = jax.device_put(self.zoo)
         self._jitted: Dict[str, callable] = {}
         self.bench = BenchSession("swap")

@@ -174,6 +174,7 @@ def init_bisenet(key, n_classes: int = 19):
     }
 
 
+@jax.named_scope("bisenet")
 def bisenet_logits(p, x: Array, aux: bool = False):
     """x: normalized NHWC -> main logits [B,H,W,K] (+ aux heads if aux)."""
     h, w = x.shape[1], x.shape[2]

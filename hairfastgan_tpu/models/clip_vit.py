@@ -100,6 +100,7 @@ def init_clip_image_tower(key, width: int = 768, layers: int = 12, heads: int = 
     }
 
 
+@jax.named_scope("clip")
 def clip_encode_image(p, x: Array) -> Array:
     """x: preprocessed [B,224,224,3] -> [B,512] image embedding."""
     y = conv2d(x, p["patch_conv"]["w"], stride=p["patch_conv"]["w"].shape[0])

@@ -189,6 +189,7 @@ def gradual_style_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
     return w
 
 
+@jax.named_scope("e4e")
 def e4e_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
     """x: [B,256,256,3] normalized ([-1,1]) -> W+ [B,18,512].
 

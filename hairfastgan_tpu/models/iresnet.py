@@ -144,6 +144,7 @@ def init_arcface(key, depth: int = 50, num_features: int = 512):
     }
 
 
+@jax.named_scope("arcface")
 def arcface_embed(p, x: Array) -> Array:
     """x: [B,112,112,3] in [-1,1] -> [B,512] identity embedding."""
     f4 = trunk_features(p["trunk"], x)[-1]
@@ -207,6 +208,7 @@ def init_fs_encoder(
     return p
 
 
+@jax.named_scope("fs_encoder")
 def fs_encode(p, x: Array) -> Tuple[Array, List[Array]]:
     """x: [B,256,256,3] normalized -> (S [B,n_styles,512], [content maps]).
 

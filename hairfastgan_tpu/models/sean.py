@@ -244,12 +244,14 @@ def _up2(x: Array) -> Array:
     return resize(x, (x.shape[1] * 2, x.shape[2] * 2), "nearest")
 
 
+@jax.named_scope("sean_encode")
 def sean_encode(p, img: Array, labels: Array) -> Array:
     """encode_sean (pix2pix_model.py:299-306): [B,19,512] region codes."""
     onehot = one_hot_mask(labels, N_REGIONS, img.dtype)
     return zencoder_codes(p["zencoder"], img, onehot)
 
 
+@jax.named_scope("sean_decode")
 def sean_decode(p, style_codes: Array, target_labels: Array,
                 noise_key: Optional[Array] = None) -> Array:
     """decode_sean (pix2pix_model.py:309-325): render codes under a new mask.

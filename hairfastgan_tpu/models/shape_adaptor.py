@@ -169,6 +169,7 @@ def get_hair_code(p, labels256: Array) -> Array:
     return mask_encode(p["hair_encoder"], onehot[..., HAIR_IDX:HAIR_IDX + 1])
 
 
+@jax.named_scope("shape_adaptor_enc")
 def get_hair_face_code(p, labels256: Array) -> Tuple[Array, Array]:
     """labels [B,256,256] int -> (face_code [B,1024], hair_code [B,16]).
 
@@ -180,6 +181,7 @@ def get_hair_face_code(p, labels256: Array) -> Tuple[Array, Array]:
     return get_face_code(p, labels256), get_hair_code(p, labels256)
 
 
+@jax.named_scope("shape_adaptor_dec")
 def get_new_shape(p, face_code: Array, hair_code: Array) -> Array:
     """codes -> recombined 19-class label mask [B,256,256] (solver.py:259-262)."""
     hair_logit = mask_decode(p["hair_decoder"],

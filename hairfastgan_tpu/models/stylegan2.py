@@ -144,6 +144,7 @@ def _to_rgb(p, x, style, skip=None):
     return y
 
 
+@jax.named_scope("stylegan2_synthesis")
 def synthesis(
     params,
     latent: Array,

@@ -78,6 +78,75 @@ def _depthwise_fir_1d(
     )
 
 
+def _shift_add_fir_1d(
+    x: Array,
+    taps: np.ndarray,
+    axis: int,
+    up: int,
+    down: int,
+    pad: Tuple[int, int],
+) -> Array:
+    """Same contract as `_depthwise_fir_1d`, as shifted weighted adds.
+
+    Depthwise convs on TPU go through XLA's space-to-batch conversion, which
+    surrounds every blur with layout copies (profiled ~1/6 of the whole swap
+    program in copies + conv overhead). A T-tap FIR is just T shifted
+    multiply-adds, which XLA fuses into ONE elementwise loop over a single
+    padded buffer — no conv machinery at all. Upsampling uses the polyphase
+    split: output phase φ only reads taps t with (t+φ-p0) ≡ 0 (mod up), so
+    each phase is its own small shift-add and phases interleave by a
+    stack+reshape on the spatial axis.
+    """
+    n = x.shape[axis]
+    t_len = len(taps)
+    kt = np.flip(taps).copy()  # true convolution vs correlation
+    m_out = (n * up + pad[0] + pad[1] - t_len) // down + 1
+
+    def ax_pad(arr, lo, hi):
+        cfg = [(0, 0)] * 4
+        cfg[axis] = (lo, hi)
+        return jnp.pad(arr, cfg)
+
+    def ax_slice(arr, start, length, stride=1):
+        idx = [slice(None)] * 4
+        idx[axis] = slice(start, start + (length - 1) * stride + 1, stride)
+        return arr[tuple(idx)]
+
+    if up == 1:
+        # y[i] = sum_t kt[t] * xpad[i*down + t]
+        xp = ax_pad(x, pad[0], max(0, (m_out - 1) * down + t_len - n - pad[0]))
+        y = None
+        for t in range(t_len):
+            term = ax_slice(xp, t, m_out, down) * jnp.asarray(kt[t], x.dtype)
+            y = term if y is None else y + term
+        return y
+
+    # up > 1, down == 1 (the generator's upsample path): polyphase
+    phases = []
+    # phase φ: y[up*i+φ] = sum over taps t with (φ + t - pad[0]) % up == 0
+    #          of kt[t] * x[i + (φ + t - pad[0]) // up]
+    n_ph = -(-m_out // up)  # per-phase length (compute full, crop after)
+    offs_all = [(phi, t, (phi + t - pad[0]) // up)
+                for phi in range(up) for t in range(t_len)
+                if (phi + t - pad[0]) % up == 0]
+    lo = max(0, -min(o for _, _, o in offs_all))
+    hi = max(0, max(o for _, _, o in offs_all) + n_ph - n)
+    xp = ax_pad(x, lo, hi)
+    for phi in range(up):
+        y = None
+        for _, t, o in [v for v in offs_all if v[0] == phi]:
+            term = ax_slice(xp, o + lo, n_ph) * jnp.asarray(kt[t], x.dtype)
+            y = term if y is None else y + term
+        if y is None:
+            y = jnp.zeros_like(ax_slice(xp, 0, n_ph))
+        phases.append(y)
+    y = jnp.stack(phases, axis=axis + 1)  # [..., n_ph, up, ...]
+    shape = list(y.shape)
+    shape[axis:axis + 2] = [n_ph * up]
+    y = y.reshape(shape)
+    return ax_slice(y, 0, m_out)
+
+
 def upfirdn2d(
     x: Array,
     kernel_1d: Sequence[int] | np.ndarray,
@@ -94,8 +163,10 @@ def upfirdn2d(
     see model.py:40, 84).
     """
     taps = make_fir_kernel(tuple(int(v) for v in np.asarray(kernel_1d).tolist()), gain)
-    y = _depthwise_fir_1d(x, taps, axis=1, up=up, down=down, pad=pad)
-    y = _depthwise_fir_1d(y, taps, axis=2, up=up, down=down, pad=pad)
+    fir = _shift_add_fir_1d if (pad[0] >= 0 and pad[1] >= 0
+                                and (up == 1 or down == 1)) else _depthwise_fir_1d
+    y = fir(x, taps, axis=1, up=up, down=down, pad=pad)
+    y = fir(y, taps, axis=2, up=up, down=down, pad=pad)
     return y
 
 

@@ -41,6 +41,7 @@ def _hair_mask(labels: Array, hair_label: int, dtype) -> Array:
     return (labels == hair_label).astype(dtype)[..., None]
 
 
+@jax.named_scope("shape_module")
 def shape_module(
     zoo: Dict,
     embed1: Dict[str, Array],
@@ -100,6 +101,7 @@ def shape_module(
     }
 
 
+@jax.named_scope("align")
 def align_images(
     zoo: Dict,
     embed1: Dict[str, Array],

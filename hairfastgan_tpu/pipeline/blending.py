@@ -31,6 +31,7 @@ from hairfastgan_tpu.pipeline.embedding import to_res
 Array = jax.Array
 
 
+@jax.named_scope("blend")
 def blend_images(
     zoo: Dict,
     align_shape: Dict[str, Array],

@@ -64,6 +64,7 @@ def fse_downscale(img_norm: Array, out_size: int = 256) -> Array:
     return x
 
 
+@jax.named_scope("embed")
 def embed_images(
     zoo: Dict,
     images: Array,

@@ -121,6 +121,24 @@ def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict
     return jax.tree_util.tree_map_with_path(make, shapes)
 
 
+def cast_zoo(zoo: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Cast the zoo's float leaves to the compute dtype (weights-resident form).
+
+    The swap program computes in bf16 end to end; keeping the ~1.2 GB of f32
+    weights on device means every call re-reads them at double width and
+    inserts a convert per consumer (profiled ~3 ms/swap of pure weight
+    casts). Norm statistics still get promoted to f32 *inside* the norm
+    folding math (ops/basic.py), which is precision-adequate from bf16
+    stats. Integer leaves (label tables) and `Static` config are untouched.
+    """
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, zoo)
+
+
 def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Dict:
     """Load the zoo pytree from a checkpoint directory.
 
