@@ -71,6 +71,7 @@ def main():
 
     cfg = HairFastConfig()
     # numpy shape-based init (seconds), one bulk transfer to the chip
+    # (zoo.pack_zoo intentionally NOT applied: measured slower on v5e)
     zoo = jax.device_put(cast_zoo(init_zoo_fast(0, cfg)))
 
     n_iters = 10

@@ -45,6 +45,8 @@ class HairFast:
             # weights-resident compute dtype: halves per-swap weight reads
             # and removes the per-call f32->bf16 convert ops (zoo.cast_zoo)
             self.zoo = cast_zoo(self.zoo)
+        # NOTE: zoo.pack_zoo (consolidated head/conv layouts) is measured
+        # SLOWER on v5e — the unpacked layout is the fast default.
         self.zoo = jax.device_put(self.zoo)
         self._jitted: Dict[str, callable] = {}
         self.bench = BenchSession("swap")

@@ -117,6 +117,12 @@ class HairFastConfig:
     # segmentation instead of the full 1024 synthesis (partial RGB skip sum;
     # an approximation — None keeps the reference's full render)
     rot_render_pairs: Optional[int] = None
+    # batch the swap's two shape modules into one B=2b program
+    # (alignment.shape_module_pair). EXACT but measured slower at the
+    # default full-res rotated render on v5e (p50 114.5 -> 120.3 ms; the
+    # 1024^2 B=2 render tiles worse than two B=1 renders) — opt-in for
+    # configs with a reduced rot render where the B=2 maps are small.
+    pair_shape_modules: bool = False
 
     # hair label in the 19-class CelebAMask order used throughout the pipeline
     hair_label: int = 13

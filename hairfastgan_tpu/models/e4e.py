@@ -155,6 +155,126 @@ def _upsample_add(x: Array, y: Array) -> Array:
     return up + y
 
 
+# Head groups by FPN source (psp_encoders.py:146-151): coarse 0-2 from c3,
+# middle 3-6 from p2, fine 7.. from p1. Heads within a group share their
+# input feature map and conv-chain length (same `spatial`).
+_GROUP_BOUNDS = (0, 3, 7)
+
+
+def _head_groups(n_styles: int):
+    bounds = list(_GROUP_BOUNDS) + [n_styles]
+    return [(min(a, n_styles), min(b, n_styles))
+            for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def pack_style_heads(p):
+    """Pack the per-layer GradualStyleBlocks into consolidated ops (exact).
+
+    Heads in one FPN group read the SAME feature map, so their first 3x3
+    convs concatenate along the output axis into one dense conv; the
+    remaining per-head 512->512 convs become shift-slice batched matmuls;
+    the final EqualLinears become one stacked einsum.
+
+    MEASURED SLOWER on v5e (B=3, ms/call: 5.2 unpacked -> 7.1 as
+    feature_group_count convs -> 7.9 as einsum chains) — XLA pipelines the
+    98 small independent convs better than either consolidated form. Kept
+    as an equality-tested experiment hook (zoo.pack_zoo is opt-in, not the
+    api/bench default). Idempotent; `e4e_encode`/`gradual_style_encode`
+    dispatch on the packed layout.
+    """
+    if "styles_packed" in p or "styles" not in p:
+        return p
+    styles = p["styles"]
+    packed = []
+    for a, b in _head_groups(len(styles)):
+        heads = styles[a:b]
+        if not heads:
+            continue
+        # first conv: shared input -> ONE dense conv with concatenated
+        # output channels; chain convs: per-head weights stacked [k,3,3,c,o]
+        # for the shift-slice einsum (feature_group_count convs lower badly
+        # on this toolchain: measured 5.2 -> 7.1 ms/call at B=3)
+        g = {"conv0": {
+                "w": jnp.concatenate([h["convs"][0]["w"] for h in heads], -1),
+                "b": jnp.concatenate([h["convs"][0]["b"] for h in heads], -1)},
+             "chain": [
+                 {"w": jnp.stack([h["convs"][i]["w"] for h in heads]),
+                  "b": jnp.stack([h["convs"][i]["b"] for h in heads])}
+                 for i in range(1, len(heads[0]["convs"]))],
+             "lin_w": jnp.stack([h["linear"]["w"] for h in heads]),
+             "lin_b": jnp.stack([h["linear"]["b"] for h in heads])}
+        packed.append(g)
+    q = {k: v for k, v in p.items() if k != "styles"}
+    q["styles_packed"] = packed
+    return q
+
+
+def _headwise_conv(x: Array, w: Array, b: Array, stride: int = 2) -> Array:
+    """Per-head 3x3 stride-2 conv as 9 shift-slice batched matmuls.
+
+    x [B,H,W,k,c]; w [k,3,3,c,o]; b [k,o] -> [B,Ho,Wo,k,o]. Each tap (u,v)
+    contributes einsum('bhwkc,kco->bhwko') on a strided slice — k rides the
+    matmul batch dim, M = B*Ho*Wo, K=c, N=o (MXU-shaped), and XLA fuses the
+    9 adds. Exactly a feature_group_count=k conv, without its bad lowering.
+    """
+    bsz, h, wd, k, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    ho = (h + 2 - 3) // stride + 1
+    wo = (wd + 2 - 3) // stride + 1
+    wt = w.astype(x.dtype)
+    out = None
+    for u in range(3):
+        for v in range(3):
+            xs = jax.lax.slice(
+                xp, (0, u, v, 0, 0),
+                (bsz, u + (ho - 1) * stride + 1, v + (wo - 1) * stride + 1, k, c),
+                (1, stride, stride, 1, 1))
+            t = jnp.einsum("bhwkc,kco->bhwko", xs, wt[:, u, v],
+                           preferred_element_type=x.dtype)
+            out = t if out is None else out + t
+    return out + b.astype(x.dtype)
+
+
+def _packed_head_group(g, x: Array) -> Array:
+    """One packed group: [B,H,W,Cin] -> [B,k,512] head outputs."""
+    k = g["lin_w"].shape[0]
+    x = leaky_relu(conv2d_p(g["conv0"], x, stride=2, padding=1), 0.01)
+    x = x.reshape(x.shape[:3] + (k, x.shape[-1] // k))
+    for c in g["chain"]:
+        x = leaky_relu(_headwise_conv(x, c["w"], c["b"]), 0.01)
+    x = x.reshape(x.shape[0], k, -1)  # spatial is 1x1 here
+    scale = 1.0 / math.sqrt(g["lin_w"].shape[1])
+    w = g["lin_w"].astype(x.dtype) * jnp.asarray(scale, x.dtype)
+    return (jnp.einsum("bkc,kcd->bkd", x, w, preferred_element_type=x.dtype)
+            + g["lin_b"].astype(x.dtype))
+
+
+def _all_style_latents(p, c1: Array, c2: Array, c3: Array) -> Array:
+    """All n_styles head outputs stacked [B,n,512] (before any combination)."""
+    if "styles_packed" in p:
+        n_groups = len(p["styles_packed"])
+        feats = [c3]
+        if n_groups > 1:
+            feats.append(_upsample_add(c3, conv2d_p(p["latlayer1"], c2)))
+        if n_groups > 2:
+            feats.append(_upsample_add(feats[1], conv2d_p(p["latlayer2"], c1)))
+        return jnp.concatenate(
+            [_packed_head_group(g, f)
+             for g, f in zip(p["styles_packed"], feats)], axis=1)
+    n = len(p["styles"])
+    latents = [gradual_style_block(p["styles"][j], c3)
+               for j in range(min(3, n))]
+    if n > 3:
+        p2 = _upsample_add(c3, conv2d_p(p["latlayer1"], c2))
+        latents += [gradual_style_block(p["styles"][j], p2)
+                    for j in range(3, min(7, n))]
+        if n > 7:
+            p1 = _upsample_add(p2, conv2d_p(p["latlayer2"], c1))
+            latents += [gradual_style_block(p["styles"][j], p1)
+                        for j in range(7, n)]
+    return jnp.stack(latents, axis=1)
+
+
 def init_e4e(key, n_styles: int = 18, se: bool = True):
     keys = jax.random.split(key, n_styles + 4)
     styles = []
@@ -176,14 +296,7 @@ def gradual_style_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
     fine 7.. from p1) — no w0 broadcast/deltas. Same parameter tree as
     Encoder4Editing (init_e4e)."""
     c1, c2, c3 = irse_pyramid(p["backbone"], x)
-    n_styles = len(p["styles"])
-    latents = [gradual_style_block(p["styles"][j], c3) for j in range(3)]
-    p2 = _upsample_add(c3, conv2d_p(p["latlayer1"], c2))
-    latents += [gradual_style_block(p["styles"][j], p2) for j in range(3, 7)]
-    p1 = _upsample_add(p2, conv2d_p(p["latlayer2"], c1))
-    latents += [gradual_style_block(p["styles"][j], p1)
-                for j in range(7, n_styles)]
-    w = jnp.stack(latents, axis=1)
+    w = _all_style_latents(p, c1, c2, c3)
     if add_latent_avg:
         w = w + p["latent_avg"].astype(w.dtype)[None]
     return w
@@ -197,22 +310,9 @@ def e4e_encode(p, x: Array, add_latent_avg: bool = True) -> Array:
     deltas for i in 1..17, then + latent_avg (model_utils.py:7-14).
     """
     c1, c2, c3 = irse_pyramid(p["backbone"], x)
-    n_styles = len(p["styles"])
-
-    w0 = gradual_style_block(p["styles"][0], c3)
-    deltas = [w0]
-    features = c3
-    p2 = None
-    for i in range(1, n_styles):
-        if i == 3:
-            p2 = _upsample_add(c3, conv2d_p(p["latlayer1"], c2))
-            features = p2
-        elif i == 7:
-            features = _upsample_add(p2, conv2d_p(p["latlayer2"], c1))
-        deltas.append(gradual_style_block(p["styles"][i], features))
-
-    w = jnp.stack([w0] * n_styles, axis=1)
-    w = w.at[:, 1:].add(jnp.stack(deltas[1:], axis=1))
+    lat = _all_style_latents(p, c1, c2, c3)  # [B, n, 512]: w0 then deltas
+    w = jnp.tile(lat[:, :1], (1, lat.shape[1], 1))
+    w = w.at[:, 1:].add(lat[:, 1:])
     if add_latent_avg:
         w = w + p["latent_avg"].astype(w.dtype)[None]
     return w

@@ -191,3 +191,20 @@ def get_new_shape(p, face_code: Array, hair_code: Array) -> Array:
                              face_logit[..., HAIR_IDX:]], -1)
     # softmax then argmax == argmax of logits (model.py:196-199 + argmax)
     return jnp.argmax(logit, axis=-1).astype(jnp.int32)
+
+
+def get_new_shape_shared_face(p, face_code: Array, hair_code: Array) -> Array:
+    """`get_new_shape` for k hair codes per face code: [B,1024] x [k*B,16].
+
+    The face decoder runs ONCE at B and its logits are tiled — exact, since
+    face_logit depends only on face_code (solver.py:259-262 recombination).
+    Used when one face's mask is recombined with several rotated hair masks
+    (the shape- and color-pair shape modules of one swap, hair_swap.py:49-57).
+    """
+    k = hair_code.shape[0] // face_code.shape[0]
+    hair_logit = mask_decode(p["hair_decoder"], jnp.concatenate(
+        [jnp.tile(face_code, (k, 1)), hair_code], -1))
+    face_logit = jnp.tile(mask_decode(p["face_decoder"], face_code), (k, 1, 1, 1))
+    logit = jnp.concatenate([face_logit[..., :HAIR_IDX], hair_logit,
+                             face_logit[..., HAIR_IDX:]], -1)
+    return jnp.argmax(logit, axis=-1).astype(jnp.int32)

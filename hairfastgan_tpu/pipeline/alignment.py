@@ -101,6 +101,65 @@ def shape_module(
     }
 
 
+@jax.named_scope("shape_module_pair")
+def shape_module_pair(
+    zoo: Dict,
+    e_face: Dict[str, Array],
+    e_shape: Dict[str, Array],
+    e_color: Dict[str, Array],
+    *,
+    cfg: HairFastConfig = HairFastConfig(),
+    dtype=jnp.float32,
+    noise_key: Optional[Array] = None,
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Both of a swap's shape modules — (face,shape) and (face,color) — as
+    ONE B=2b batch (exact; hair_swap.py:49-57 runs them sequentially).
+
+    Rotation, the full G render, BiSeNet re-segmentation, hair coding and
+    hair decoding are genuinely different per pair and run batched; the
+    face-mask path (face encoder + face decoder) depends only on `e_face`
+    and runs once at B=b. Returns (sm_shape, sm_color) shaped exactly like
+    two separate `shape_module(..., same=False)` results.
+    """
+    mask1 = e_face["mask"]
+    b = mask1.shape[0]
+    w1_6 = e_face["W"][:, :6].astype(dtype)
+    w2 = jnp.concatenate([e_shape["W"], e_color["W"]], axis=0).astype(dtype)
+    rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6],
+                                 jnp.tile(w1_6, (2, 1, 1)))
+    rotate_to = jnp.concatenate([rot6, w2[:, 6:]], axis=1)
+    end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
+                else cfg.stylegan.log_size - 2)
+    _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
+                                   end_layer=end_pair,
+                                   cfg=cfg.stylegan, dtype=dtype,
+                                   noise_key=noise_key)
+    i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
+    if i_rot01.shape[1] > cfg.rot_seg_size:
+        from hairfastgan_tpu.pipeline.embedding import to_res
+
+        i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
+    rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
+
+    face_1 = shape_adaptor.get_face_code(zoo["shape_adaptor"], mask1)
+    hair_2 = shape_adaptor.get_hair_code(zoo["shape_adaptor"], rot_mask)
+    target_mask = shape_adaptor.get_new_shape_shared_face(
+        zoo["shape_adaptor"], face_1, hair_2)
+
+    hm1 = _hair_mask(mask1, cfg.hair_label, dtype)
+    out = []
+    for i, e2 in enumerate((e_shape, e_color)):
+        sl = slice(i * b, (i + 1) * b)
+        out.append({
+            "target_mask": target_mask[sl],
+            "HM_X": _hair_mask(target_mask[sl], cfg.hair_label, dtype),
+            "hair_mask1": hm1,
+            "hair_mask2": _hair_mask(e2["mask"], cfg.hair_label, dtype),
+            "rot_mask": rot_mask[sl],
+        })
+    return out[0], out[1]
+
+
 @jax.named_scope("align")
 def align_images(
     zoo: Dict,
@@ -111,10 +170,16 @@ def align_images(
     cfg: HairFastConfig = HairFastConfig(),
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
+    sm: Optional[Dict[str, Array]] = None,
 ) -> Dict[str, Array]:
-    """F-space alignment of (face, shape). Returns latent_F_align + HM_X."""
-    sm = shape_module(zoo, embed1, embed2, same=same, cfg=cfg, dtype=dtype,
-                      noise_key=noise_key)
+    """F-space alignment of (face, shape). Returns latent_F_align + HM_X.
+
+    `sm` supplies a precomputed shape-module result (shape_module_pair);
+    otherwise the module runs here (Alignment.py:120).
+    """
+    if sm is None:
+        sm = shape_module(zoo, embed1, embed2, same=same, cfg=cfg, dtype=dtype,
+                          noise_key=noise_key)
     if same:
         return {"latent_F_align": embed1["F"], "HM_X": sm["HM_X"]}
 

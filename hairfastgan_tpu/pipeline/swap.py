@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from hairfastgan_tpu.config import HairFastConfig
-from hairfastgan_tpu.pipeline.alignment import align_images, shape_module
+from hairfastgan_tpu.pipeline.alignment import (align_images, shape_module,
+                                                shape_module_pair)
 from hairfastgan_tpu.pipeline.blending import blend_images
 from hairfastgan_tpu.pipeline.embedding import embed_images
 
@@ -98,20 +99,32 @@ def hair_fast(
     keys = (jax.random.split(noise_key, 3) if noise_key is not None
             else (None, None, None))
 
-    # Alignment (face, shape)
-    align_shape = align_images(
-        zoo, e_face, e_shape, same=case in ("face_eq_shape", "same"),
-        cfg=cfg, dtype=dtype, noise_key=keys[0])
-
-    # Shape module for the color image's hair region (hair_swap.py:52-57);
-    # face==color short-circuits like the reference's identity check inside
-    # shape_module (Alignment.py:60,73: target = face's own mask)
-    if case in ("shape_eq_color", "same"):
-        align_color = align_shape
+    # Alignment (face, shape) + the color image's shape module
+    # (hair_swap.py:41-57). In the fully-distinct case both shape modules
+    # can batch into ONE B=2b program (alignment.shape_module_pair) —
+    # MEASURED SLOWER on v5e (p50 114.5 -> 120.3 ms: the 1024^2 B=2
+    # rotated render tiles worse than two sequential B=1 renders, same
+    # HBM-pressure cliff as batch 16) — so it is opt-in via
+    # cfg.pair_shape_modules; the default keeps the sequential calls, with
+    # face==color / face==shape short-circuits mirroring the reference's
+    # identity checks (Alignment.py:60,73).
+    if case == "distinct" and cfg.pair_shape_modules:
+        sm_shape, align_color = shape_module_pair(
+            zoo, e_face, e_shape, e_color, cfg=cfg, dtype=dtype,
+            noise_key=keys[0])
+        align_shape = align_images(
+            zoo, e_face, e_shape, same=False, cfg=cfg, dtype=dtype,
+            noise_key=keys[0], sm=sm_shape)
     else:
-        align_color = shape_module(
-            zoo, e_face, e_color, same=(case == "face_eq_color"),
-            cfg=cfg, dtype=dtype, noise_key=keys[1])
+        align_shape = align_images(
+            zoo, e_face, e_shape, same=case in ("face_eq_shape", "same"),
+            cfg=cfg, dtype=dtype, noise_key=keys[0])
+        if case in ("shape_eq_color", "same"):
+            align_color = align_shape
+        else:
+            align_color = shape_module(
+                zoo, e_face, e_color, same=(case == "face_eq_color"),
+                cfg=cfg, dtype=dtype, noise_key=keys[1])
 
     # Blending + PostProcess
     out = blend_images(

@@ -121,6 +121,36 @@ def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict
     return jax.tree_util.tree_map_with_path(make, shapes)
 
 
+def pack_zoo(zoo: Dict) -> Dict:
+    """Inference-layout packing of the zoo (exact, idempotent) — OPT-IN.
+
+    Re-lays-out weight families into consolidated ops: e4e/pSp style heads
+    -> dense first conv + per-head batched-matmul chains
+    (models/e4e.pack_style_heads), SEAN ACE fc_mu/gamma-beta pairs
+    (models/sean.pack_sean), FSE style heads (iresnet.pack_fs_styles).
+
+    MEASURED SLOWER on v5e for ALL THREE families (B=2-3 inference shapes,
+    10x-amplified micro-bench, ms/call): e4e 5.2 -> 7.1 (grouped conv) /
+    7.9 (einsum chain), SEAN decode 4.1 -> 4.4, FSE 2.1 -> 2.3; full swap
+    p50 111.5 -> 121.2 ms. XLA schedules the many-small-op unpacked form
+    better than consolidated grouped/batched matmuls at tiny M. Kept as an
+    equality-tested experiment hook (the api/bench default is unpacked);
+    model forwards dispatch on whichever layout they get.
+    """
+    q = dict(zoo)
+    if "e4e" in q:
+        q["e4e"] = e4e.pack_style_heads(q["e4e"])
+    if "sean" in q:
+        q["sean"] = sean.pack_sean(q["sean"])
+    if "fse" in q:
+        q["fse"] = iresnet.pack_fs_styles(q["fse"])
+    if "post_process" in q and "encoder_face" in q["post_process"]:
+        pp = dict(q["post_process"])
+        pp["encoder_face"] = iresnet.pack_fs_styles(pp["encoder_face"])
+        q["post_process"] = pp
+    return q
+
+
 def cast_zoo(zoo: Dict, dtype=jnp.bfloat16) -> Dict:
     """Cast the zoo's float leaves to the compute dtype (weights-resident form).
 

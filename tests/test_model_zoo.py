@@ -68,6 +68,47 @@ def test_e4e_delta_structure():
     np.testing.assert_allclose(np.asarray(w_avg), np.asarray(w_with) + 1.0, rtol=1e-6)
 
 
+def test_e4e_packed_heads_match_unpacked():
+    """pack_style_heads is an exact re-layout: grouped-conv chains must
+    reproduce the per-head loop bit-for-bit math (both encode variants)."""
+    p = e4e.init_e4e(KEY, se=False)
+    q = e4e.pack_style_heads(p)
+    assert "styles" not in q and len(q["styles_packed"]) == 3
+    assert e4e.pack_style_heads(q) is q or "styles_packed" in e4e.pack_style_heads(q)
+    x = jax.random.normal(KEY, (2, 256, 256, 3)) * 0.5
+    for fn in (e4e.e4e_encode, e4e.gradual_style_encode):
+        ref = np.asarray(fn(p, x))
+        got = np.asarray(fn(q, x))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_sean_packed_matches_unpacked():
+    """pack_sean (stacked fc_mu + fused gamma/beta convs) is exact."""
+    p = sean.init_sean_generator(KEY, ngf=16)
+    q = sean.pack_sean(p)
+    img = jax.random.normal(KEY, (1, 256, 256, 3)) * 0.1
+    labels = jax.random.randint(KEY, (1, 256, 256), 0, 19)
+    codes = sean.sean_encode(p, img, labels)
+    ref = np.asarray(sean.sean_decode(p, codes, labels))
+    got = np.asarray(sean.sean_decode(q, codes, labels))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # idempotent
+    got2 = np.asarray(sean.sean_decode(sean.pack_sean(q), codes, labels))
+    np.testing.assert_allclose(got2, got, atol=0)
+
+
+def test_fse_packed_styles_match_unpacked():
+    from hairfastgan_tpu.models import iresnet
+
+    p = iresnet.init_fs_encoder(KEY, n_styles=18, fs_layers=(5,), depth=18)
+    q = iresnet.pack_fs_styles(p)
+    x = jax.random.normal(KEY, (2, 256, 256, 3)) * 0.5
+    s_ref, c_ref = iresnet.fs_encode(p, x)
+    s_got, c_got = iresnet.fs_encode(q, x)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c_got[0]), np.asarray(c_ref[0]), atol=0)
+
+
 def test_bisenet_labels():
     p = bisenet.init_bisenet(KEY, n_classes=19)
     img = jax.random.uniform(KEY, (1, 128, 128, 3))

@@ -82,6 +82,47 @@ def test_hair_fast_cases(tiny, images, case):
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+def test_shape_module_pair_matches_two_calls(tiny, images):
+    """Batched dual shape module == two sequential shape_module calls (exact:
+    render/segment/adaptor are batch-independent; the face path is shared)."""
+    from hairfastgan_tpu.pipeline.alignment import shape_module, shape_module_pair
+
+    zoo, cfg = tiny
+    face, shape, color = images
+    both = jnp.concatenate([face, shape, color], axis=0)
+    emb = embed_images(zoo, both, mix=True, cfg=cfg)
+    e_f = {k: v[0:1] for k, v in emb.items()}
+    e_s = {k: v[1:2] for k, v in emb.items()}
+    e_c = {k: v[2:3] for k, v in emb.items()}
+
+    sm_s, sm_c = shape_module_pair(zoo, e_f, e_s, e_c, cfg=cfg)
+    ref_s = shape_module(zoo, e_f, e_s, same=False, cfg=cfg)
+    ref_c = shape_module(zoo, e_f, e_c, same=False, cfg=cfg)
+    for got, ref in ((sm_s, ref_s), (sm_c, ref_c)):
+        # identical inputs -> bitwise-equal input-derived masks
+        for k in ("hair_mask1", "hair_mask2"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+        # argmax label maps: B=2 vs B=1 conv scheduling may flip float
+        # near-ties at isolated pixels — require >=99.9% agreement
+        for k in ("target_mask", "rot_mask", "HM_X"):
+            a = np.asarray(got[k], dtype=np.float32)
+            b = np.asarray(ref[k], dtype=np.float32)
+            assert (a == b).mean() > 0.999, k
+
+
+def test_hair_fast_packed_zoo_matches(tiny, images):
+    """pack_zoo (inference weight re-layout) leaves the composed pipeline
+    output numerically unchanged (tolerance covers matmul-order drift)."""
+    from hairfastgan_tpu.zoo import pack_zoo
+
+    zoo, cfg = tiny
+    face, shape, color = images
+    ref = hair_fast(zoo, face, shape, color, case="distinct", cfg=cfg)
+    got = hair_fast(pack_zoo(zoo), face, shape, color, case="distinct", cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    assert float(jnp.abs(got - ref).mean()) < 2e-4
+
+
 def test_swap_cases_dispatch(images):
     face, shape, color = images
     assert swap_cases(face, shape, color) == "distinct"
