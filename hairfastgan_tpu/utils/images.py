@@ -66,11 +66,13 @@ def equal_replacer(images: Sequence[np.ndarray]) -> List[np.ndarray]:
 
 
 def save_image01(path: Union[str, Path], img01: np.ndarray) -> None:
-    """[H,W,3] or [1,H,W,3] float in [0,1] -> PNG."""
+    """[H,W,3] or [1,H,W,3] float in [0,1] (or uint8 in [0,255]) -> PNG."""
     if Image is None:
         raise RuntimeError("PIL required to save images")
     arr = np.asarray(img01)
     if arr.ndim == 4:
         arr = arr[0]
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)).save(str(path))
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(str(path))

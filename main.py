@@ -39,7 +39,9 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
             faces = np.stack([to_image_array(args.input_dir / f) for f, _, _ in chunk])
             shapes = np.stack([to_image_array(args.input_dir / s) for _, s, _ in chunk])
             colors = np.stack([to_image_array(args.input_dir / c) for _, _, c in chunk])
-            outs = hair_fast.swap_batch(faces, shapes, colors)
+            # uint8 from the device: the PNG quantization happens on-chip
+            # and the download shrinks 4x (tunnel-bandwidth-bound hosts)
+            outs = hair_fast.swap_batch(faces, shapes, colors, output="uint8")
             for (f, s, c), out in zip(chunk, outs):
                 name = "_".join(Path(p).stem for p in (f, s, c))
                 save_image01(args.output_dir / f"{name}.png", out)
@@ -48,7 +50,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
     for exp in experiments:
         face, shape, color = (args.input_dir / p for p in exp)
         out = hair_fast.swap(face, shape, color, benchmark=args.benchmark,
-                             poisson=args.poisson,
+                             poisson=args.poisson, output="uint8",
                              exp_name="_".join(Path(p).stem for p in exp))
         name = "_".join(Path(p).stem for p in exp)
         save_image01(args.output_dir / f"{name}.png", out)

@@ -40,6 +40,20 @@ def test_swap_accepts_arrays_and_dedups(hf):
            ("same", True) in [k for k in hf._jitted]
 
 
+def test_swap_uint8_output(hf):
+    """output='uint8' quantizes on device; must equal the float path
+    rounded (serves 4x less device->host traffic)."""
+    rng = np.random.RandomState(7)
+    size = hf.cfg.stylegan.size
+    face = rng.rand(size, size, 3).astype(np.float32)
+    f32 = hf.swap(face, face.copy(), face.copy())
+    u8 = hf.swap(face, face.copy(), face.copy(), output="uint8")
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    expect = np.clip(f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # same program, same inputs -> at most 1 LSB of quantization skew
+    assert np.abs(u8.astype(np.int16) - expect.astype(np.int16)).max() <= 1
+
+
 def test_swap_save_all_dumps(hf):
     rng = np.random.RandomState(1)
     size = hf.cfg.stylegan.size
