@@ -38,8 +38,8 @@ def _enable_compile_cache():
         pass  # older jax without the persistent cache
 
 
-def _p50_ms(fn, args_list, warm_args):
-    """Median wall ms over one call per args tuple (distinct inputs/lap)."""
+def _lap_ms(fn, args_list, warm_args):
+    """Sorted wall ms, one call per args tuple (distinct inputs/lap)."""
     import math
 
     _, probe = fn(*warm_args)
@@ -55,6 +55,11 @@ def _p50_ms(fn, args_list, warm_args):
         float(probe)
         times.append((time.perf_counter() - t0) * 1000.0)
     times.sort()
+    return times
+
+
+def _p50_ms(fn, args_list, warm_args):
+    times = _lap_ms(fn, args_list, warm_args)
     return times[len(times) // 2]
 
 
@@ -91,7 +96,8 @@ def main():
 
     # ---- headline p50 (B=1) ----
     laps = [(zoo, *triple(i)) for i in range(n_iters)]
-    p50 = _p50_ms(fn, laps, (zoo, *triple(n_iters)))
+    times = _lap_ms(fn, laps, (zoo, *triple(n_iters)))
+    p50, tmin = times[len(times) // 2], times[0]
 
     # ---- MFU from XLA's own cost model of the compiled program ----
     mfu = None
@@ -175,6 +181,9 @@ def main():
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(1000.0 / p50, 3),
+        # min is the variance-robust signal through the tunnel (day-to-day
+        # RTT/bandwidth drift moves p50 by ~±8 ms; device time is ~65 ms)
+        "host_min_ms": round(tmin, 3),
         **throughput,
         "stage_p50_ms": {k: round(v, 2) for k, v in stage.items()},
         "mfu_pct": mfu,

@@ -35,6 +35,16 @@ class HairFast:
 
     def __init__(self, cfg: HairFastConfig = HairFastConfig(), zoo: Optional[Dict] = None):
         self.cfg = cfg
+        if cfg.compile_cache_dir:
+            # the fused swap program compiles in minutes; the persistent
+            # cache roughly halves later process starts (tracing and
+            # sub-5s compiles are not cached)
+            try:
+                jax.config.update("jax_compilation_cache_dir",
+                                  cfg.compile_cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+            except Exception:
+                pass  # older jax without the persistent cache
         if zoo is not None:
             self.zoo = zoo
         elif Path(cfg.checkpoint_dir).exists():
@@ -272,6 +282,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--smooth", type=int, default=5)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--compile_cache_dir", type=str,
+                   default="/tmp/hairfast_jax_cache",
+                   help="persistent XLA compile cache ('' disables)")
     return p
 
 
@@ -289,4 +302,6 @@ def config_from_args(args: argparse.Namespace) -> HairFastConfig:
         save_all_dir=args.save_all_dir,
         checkpoint_dir=Path(args.ckpt_dir),
         compute_dtype=args.compute_dtype,
+        compile_cache_dir=(getattr(args, "compile_cache_dir",
+                                   "/tmp/hairfast_jax_cache") or None),
     )

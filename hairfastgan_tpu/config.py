@@ -107,6 +107,15 @@ class HairFastConfig:
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul activations
     param_dtype: str = "float32"
     mesh_data_axis: int = 1  # data-parallel width; >1 shards the triple batch
+    # persistent XLA compile cache: the fused 1024^2 swap program takes
+    # minutes to compile; caching it makes every later process start in
+    # seconds. None (default) leaves the process-global jax config alone —
+    # enabling it is a process-level decision, so the CLI turns it on for
+    # its own fresh process while library use stays side-effect-free.
+    # Also keep it off when dumping HLO with named_scope metadata for
+    # tools/attribute_trace.py — the cache key ignores metadata, so a
+    # cache hit returns an executable without your scopes.
+    compile_cache_dir: Optional[str] = None
 
     # fast-path knobs (defaults preserve reference behavior)
     # resolution at which the rotated render is re-segmented; the reference
