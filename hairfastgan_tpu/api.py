@@ -173,22 +173,27 @@ class HairFast:
                    output: str = "float32") -> np.ndarray:
         """Batched triples [B,H,W,3] -> [B,H,W,3]; the TPU throughput path.
 
-        On a multi-chip host the batch is sharded over a 1-D data mesh
-        (each chip runs B/n transfers; XLA inserts no cross-chip traffic —
-        triples are independent). output="uint8" quantizes on device (4x
-        less device->host transfer).
+        On a multi-chip host the batch is shard_map'd over a 1-D data mesh:
+        each chip runs the plain B/n-transfer program with ZERO collectives
+        (triples are independent — see parallel.mesh.data_parallel for why
+        shard_map instead of partitioner propagation), so each row of the
+        result is bit-identical to a B=1 `swap` of that triple. output=
+        "uint8" quantizes on device (4x less device->host transfer).
         """
         fn = self._fn(case)
         args = (jnp.asarray(faces), jnp.asarray(shapes), jnp.asarray(colors))
         n_dev = len(jax.devices())
         if n_dev > 1 and args[0].shape[0] % n_dev == 0:
-            from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
+            from hairfastgan_tpu.parallel import data_parallel, make_mesh
 
-            plan = make_mesh(n_data=n_dev)
-            zoo = replicate(plan, self.zoo)
-            args = shard_batch(plan, args)
-            with plan.mesh:
-                out, _ = fn(zoo, *args, jax.random.PRNGKey(self.cfg.seed))
+            dp_key = ("dp", case, n_dev)
+            if dp_key not in self._jitted:
+                plan = make_mesh(n_data=n_dev)
+                self._jitted[dp_key] = data_parallel(
+                    plan, lambda z, f, s, c, k: fn(z, f, s, c, k)[0],
+                    in_batched=(False, True, True, True, False))
+            out = self._jitted[dp_key](
+                self.zoo, *args, jax.random.PRNGKey(self.cfg.seed))
         else:
             out, _ = fn(self.zoo, *args, jax.random.PRNGKey(self.cfg.seed))
         if output == "uint8":

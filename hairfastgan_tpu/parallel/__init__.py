@@ -1,5 +1,6 @@
 from hairfastgan_tpu.parallel.mesh import (  # noqa: F401
     MeshPlan,
+    data_parallel,
     make_mesh,
     shard_batch,
     replicate,

@@ -80,6 +80,28 @@ def make_mesh(
     return MeshPlan(Mesh(arr, ("data",)))
 
 
+def data_parallel(plan: MeshPlan, fn, in_batched: Sequence[bool]):
+    """Wrap a batchwise-independent `fn` as a jitted shard_map over `data`.
+
+    `in_batched[i]` marks whether positional arg i carries the batch on dim
+    0 (sharded over `data`); other args (weights pytrees, PRNG keys) are
+    replicated. Returns a jitted callable whose per-device program is the
+    plain per-shard computation.
+
+    Why not rely on jit + input shardings and XLA's SPMD propagation?
+    Measured on the composed swap program (8-device mesh): the partitioner
+    reshards internals and emits 260 all-to-all + 434 collective-permute
+    ops for a program with ZERO inherent cross-sample dependencies — wasted
+    ICI traffic on real hardware, and on the CPU test backend the
+    in-process rendezvous for those collectives intermittently trips its
+    fatal stuck-detection (SIGABRT). shard_map pins the collective-free
+    program by construction.
+    """
+    in_specs = tuple(P("data") if b else P() for b in in_batched)
+    return jax.jit(jax.shard_map(
+        fn, mesh=plan.mesh, in_specs=in_specs, out_specs=P("data")))
+
+
 def shard_batch(plan: MeshPlan, tree):
     """Place a pytree of batched arrays with dim-0 sharded over `data`."""
     return jax.tree.map(
