@@ -89,6 +89,58 @@ def test_train_step_gradients_match(tiny_gen):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
 
 
+_RESHARD_OPS = ("all-to-all", "collective-permute", "all-gather",
+                "reduce-scatter")
+
+
+def test_data_parallel_hlo_has_zero_collectives(tiny_gen):
+    """Pin the core property of `parallel.mesh.data_parallel`: the compiled
+    program contains NO collective ops of any kind.
+
+    Batchwise-independent work (the swap pipeline) must not pay ICI traffic;
+    letting XLA's SPMD partitioner propagate shardings through the composed
+    swap program instead was measured to emit 260 all-to-all + 434
+    collective-permute ops (and those rendezvous intermittently SIGABRT the
+    CPU test backend). Compile-only: no execution, no rendezvous risk.
+    """
+    from hairfastgan_tpu.parallel import data_parallel
+
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+
+    plan = make_mesh(n_data=len(jax.devices()))
+    fn = data_parallel(plan, lambda p, z: _render(p, z, cfg),
+                       in_batched=(False, True))
+    z = jax.random.normal(KEY, (len(jax.devices()), cfg.style_dim))
+    txt = fn.lower(params, z).compile().as_text()
+    for op in _RESHARD_OPS + ("all-reduce",):
+        assert txt.count(op) == 0, f"data_parallel program contains {op}"
+
+
+def test_train_step_hlo_collectives_are_allreduce_only(tiny_gen):
+    """DP training step: the ONLY collectives are gradient all-reduces
+    (psum over the data axis); the partitioner must not reshard internals."""
+    params, cfg = tiny_gen
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+
+    def loss(p, z, t):
+        return jnp.mean((_render(p, z, cfg) - t) ** 2)
+
+    plan = make_mesh(n_data=len(jax.devices()))
+    p_r = replicate(plan, params)
+    b = len(jax.devices())
+    z = jax.random.normal(KEY, (b, cfg.style_dim))
+    t = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.size, cfg.size, 3))
+    z_s, t_s = shard_batch(plan, (z, t))
+    with plan.mesh:
+        txt = jax.jit(jax.grad(loss)).lower(p_r, z_s, t_s).compile().as_text()
+    for op in _RESHARD_OPS:
+        assert txt.count(op) == 0, f"train step program reshards via {op}"
+    assert txt.count("all-reduce") > 0, "expected gradient psum all-reduces"
+
+
 def test_spatial_sharding_matches_single(tiny_gen):
     """H-axis (spatial) sharding of the synthesis output: XLA partitions the
     conv stack with halo exchanges; result must equal the unsharded render."""
