@@ -120,11 +120,16 @@ class HairFastConfig:
     # fast-path knobs (defaults preserve reference behavior)
     # resolution at which the rotated render is re-segmented; the reference
     # parses the full 1024 render (Alignment.py:65-67). 512 halves that
-    # BiSeNet cost with near-identical 256 labels.
+    # BiSeNet cost but measured 94.3% 256-label agreement (80.6% on
+    # non-modal pixels) over 100 scaled-random renders
+    # (scripts/fastpath_agreement.py) — below the 99% bar, so it stays
+    # opt-in until real checkpoints let the parity harness re-judge it.
     rot_seg_size: int = 1024
     # render the rotated image only up to the layer pair needed for
     # segmentation instead of the full 1024 synthesis (partial RGB skip sum;
-    # an approximation — None keeps the reference's full render)
+    # an approximation — None keeps the reference's full render). Measured
+    # 78.4% label agreement at pairs=6 (scripts/fastpath_agreement.py):
+    # clearly lossy, opt-in only.
     rot_render_pairs: Optional[int] = None
     # batch the swap's two shape modules into one B=2b program
     # (alignment.shape_module_pair). EXACT but measured slower at the

@@ -10,6 +10,12 @@ re-segmentation whose 256-res labels feed the shape adaptor
 This script measures, over N random-weight renders, the 256-label agreement
 and hair-mask IoU of each fast path against the exact path — the evidence
 for flipping a default. Run on the TPU: python -m scripts.fastpath_agreement
+
+Measured verdict (v5e, n=100, scaled-random weights, 16/19 classes live,
+18.5% non-modal pixels): seg512 94.3% label agreement / 80.6% on non-modal
+pixels / hair-IoU 0.12; pairs6 78.4% / 43.6% / 0.03. Both are below the
+99% flip threshold, so BOTH fast paths remain opt-in; re-run this with real
+checkpoints mounted before revisiting.
 """
 
 from __future__ import annotations
@@ -62,22 +68,39 @@ def main():
            for k, (ep, ss) in variants.items()}
 
     agree = {k: [] for k in variants if k != "exact"}
-    iou = {k: [] for k in variants if k != "exact"}
+    agree_nm = {k: [] for k in agree}  # agreement on non-modal pixels only
+    iou = {k: [] for k in agree}
+    n_classes, nonmodal_px = 0, 0
     for i in range(0, args.n, args.batch):
         w = jax.random.normal(jax.random.PRNGKey(i),
                               (args.batch, n_lat, 512)) * 0.7
         labs = {k: np.asarray(f(zoo["generator"], zoo["bisenet"], w))
                 for k, f in fns.items()}
         ref = labs["exact"]
+        # guard against a degenerate parser (one class everywhere): track
+        # class diversity and agreement restricted to non-modal pixels —
+        # the boundary/minority structure that actually moves masks
+        hist = np.bincount(ref.ravel(), minlength=19)
+        nonmodal = ref != int(hist.argmax())
+        n_classes = max(n_classes, int((hist > 0).sum()))
+        nonmodal_px += int(nonmodal.sum())
         for k in agree:
-            agree[k].append(float((labs[k] == ref).mean()))
+            eq = labs[k] == ref
+            agree[k].append(float(eq.mean()))
+            agree_nm[k].append(float(eq[nonmodal].mean())
+                               if nonmodal.any() else 1.0)
             h, hr = labs[k] == hair, ref == hair
             inter, union = (h & hr).sum(), (h | hr).sum()
             iou[k].append(float(inter) / max(float(union), 1.0))
 
     out = {k: {"label_agreement": round(float(np.mean(agree[k])), 5),
+               "nonmodal_agreement": round(float(np.mean(agree_nm[k])), 5),
                "hair_iou": round(float(np.mean(iou[k])), 5)}
            for k in agree}
+    out["_diagnostics"] = {
+        "classes_present": n_classes,
+        "nonmodal_px_frac": round(nonmodal_px / (args.n * 256 * 256), 5),
+    }
     print(json.dumps(out, indent=2))
 
 
