@@ -12,6 +12,8 @@ The single JSON line additionally carries the full perf story:
                        each including the ~30 ms tunnel round-trip
   mfu_pct              XLA cost-analysis FLOPs of the fused swap program
                        over p50, as % of v5e bf16 peak (197 TFLOP/s)
+  serving_p50_uint8_ms end-to-end api.swap(output="uint8") wall time — host
+                       coercion + uint8 up/down transfers + device quantize
 
 Protocol mirrors utils/time.py:14-36 (device-synced laps, p50 of a warm
 session). Weights are random-initialized (identical op mix/compute to
@@ -176,6 +178,24 @@ def main():
     stage["bisenet_1024"] = _p50_ms(
         seg_fn, [(zoo, triple(i)[0]) for i in range(5)], (zoo, triple(91)[0]))
 
+    # ---- end-to-end serving lap: api.swap with uint8 output ----
+    # includes host coercion, uint8 up-transfer, device quantization and the
+    # uint8 down-transfer — what a serving caller actually observes (the f32
+    # output path measured ~530 ms: the tunnel transfer dominates, CLAUDE.md)
+    from hairfastgan_tpu.api import HairFast
+
+    hf = HairFast(cfg, zoo=zoo)
+    rng = __import__("numpy").random.RandomState(0)
+    serve_laps = []
+    for i in range(6):
+        ims = [rng.rand(size, size, 3).astype("float32") for _ in range(3)]
+        t0 = time.perf_counter()
+        hf.swap(*ims, output="uint8")
+        serve_laps.append((time.perf_counter() - t0) * 1000.0)
+    serve_laps.sort()
+    # the compile lap is the largest; p50 of the remaining warm laps
+    serving_p50 = serve_laps[:-1][len(serve_laps[:-1]) // 2]
+
     print(json.dumps({
         "metric": "hairfast_swap_1024_p50_ms",
         "value": round(p50, 3),
@@ -186,6 +206,7 @@ def main():
         "host_min_ms": round(tmin, 3),
         **throughput,
         "stage_p50_ms": {k: round(v, 2) for k, v in stage.items()},
+        "serving_p50_uint8_ms": round(serving_p50, 3),
         "mfu_pct": mfu,
     }))
 

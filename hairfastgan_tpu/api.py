@@ -104,6 +104,24 @@ class HairFast:
                 x * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
         return self._jitted["u8"]
 
+    def warmup(self, cases=("distinct",), batch_sizes=(1,)):
+        """Compile the swap program(s) ahead of the first request.
+
+        Serving cold-start: the fused 1024^2 program compiles in minutes
+        cold, ~seconds-to-tens with a warm cfg.compile_cache_dir — doing it
+        at process start instead of on the first user request. Warms the
+        uint8-input programs `swap`/`swap_stream` dispatch (swap_batch's
+        float-input programs compile separately).
+        """
+        key = jax.random.PRNGKey(self.cfg.seed)
+        size = self.cfg.stylegan.size
+        for b in batch_sizes:
+            z = jnp.zeros((b, size, size, 3), jnp.uint8)
+            for case in cases:
+                _, probe = self._fn(case)(self.zoo, z, z, z, key)
+                probe.block_until_ready()
+        return self
+
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
              exp_name: Optional[str] = None,
@@ -179,11 +197,19 @@ class HairFast:
         shard_map instead of partitioner propagation), so each row of the
         result is bit-identical to a B=1 `swap` of that triple. output=
         "uint8" quantizes on device (4x less device->host transfer).
+
+        On one chip, batches beyond cfg.max_batch_per_dispatch are split
+        into sequential dispatches of that size (per-chunk noise keys):
+        B=16 in one program is MEASURED SLOWER than 2x B=8 on v5e (HBM
+        pressure — see the config knob).
         """
         fn = self._fn(case)
         args = (jnp.asarray(faces), jnp.asarray(shapes), jnp.asarray(colors))
         n_dev = len(jax.devices())
-        if n_dev > 1 and args[0].shape[0] % n_dev == 0:
+        b = args[0].shape[0]
+        chunk = self.cfg.max_batch_per_dispatch
+        key = jax.random.PRNGKey(self.cfg.seed)
+        if n_dev > 1 and b % n_dev == 0:
             from hairfastgan_tpu.parallel import data_parallel, make_mesh
 
             dp_key = ("dp", case, n_dev)
@@ -192,10 +218,14 @@ class HairFast:
                 self._jitted[dp_key] = data_parallel(
                     plan, lambda z, f, s, c, k: fn(z, f, s, c, k)[0],
                     in_batched=(False, True, True, True, False))
-            out = self._jitted[dp_key](
-                self.zoo, *args, jax.random.PRNGKey(self.cfg.seed))
+            out = self._jitted[dp_key](self.zoo, *args, key)
+        elif chunk and b > chunk:
+            outs = [fn(self.zoo, *(a[i:i + chunk] for a in args),
+                       jax.random.fold_in(key, i))[0]
+                    for i in range(0, b, chunk)]
+            out = jnp.concatenate(outs)
         else:
-            out, _ = fn(self.zoo, *args, jax.random.PRNGKey(self.cfg.seed))
+            out, _ = fn(self.zoo, *args, key)
         if output == "uint8":
             return np.asarray(self._u8_fn()(out))
         return np.asarray(out, dtype=np.float32)

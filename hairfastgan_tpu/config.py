@@ -131,6 +131,11 @@ class HairFastConfig:
     # 78.4% label agreement at pairs=6 (scripts/fastpath_agreement.py):
     # clearly lossy, opt-in only.
     rot_render_pairs: Optional[int] = None
+    # largest per-dispatch batch for swap_batch on one chip. Measured on
+    # v5e: throughput rises 9.4 -> ~15 transfers/s from B=1 to B=8, then
+    # REGRESSES to ~9/s at B=16 (HBM pressure re-tiles the big maps) —
+    # larger requests are chunked host-side to this size. 0 disables.
+    max_batch_per_dispatch: int = 8
     # batch the swap's two shape modules into one B=2b program
     # (alignment.shape_module_pair). EXACT but measured slower at the
     # default full-res rotated render on v5e (p50 114.5 -> 120.3 ms; the

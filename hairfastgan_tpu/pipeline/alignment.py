@@ -31,7 +31,7 @@ from hairfastgan_tpu.config import HairFastConfig
 from hairfastgan_tpu.models import bisenet, encoders, sean, shape_adaptor, stylegan2
 from hairfastgan_tpu.ops.pallas_morphology import dilate_erode_auto as dilate_erode
 from hairfastgan_tpu.ops.resample import resize
-from hairfastgan_tpu.pipeline.embedding import e4e_embed
+from hairfastgan_tpu.pipeline.embedding import e4e_embed, to_res
 
 Array = jax.Array
 
@@ -39,6 +39,32 @@ Array = jax.Array
 def _hair_mask(labels: Array, hair_label: int, dtype) -> Array:
     """[B,256,256] int -> [B,256,256,1] float hair mask."""
     return (labels == hair_label).astype(dtype)[..., None]
+
+
+def _rotate_and_segment(zoo, w2: Array, w1_6: Array, *, cfg, dtype,
+                        noise_key) -> Array:
+    """RotateModel -> G render -> BiSeNet 256 labels of the rotated image.
+
+    The single home of the rotate-render contract shared by shape_module
+    and shape_module_pair: the render is consumed ONLY by the
+    re-segmentation, so cfg.rot_render_pairs (stop the synthesis at a lower
+    pair) and cfg.rot_seg_size (parse at reduced res) apply here. Defaults =
+    reference behavior: full render (Alignment.py:63), parse at full res
+    (Alignment.py:65-67).
+    """
+    rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6].astype(dtype),
+                                 w1_6.astype(dtype))
+    rotate_to = jnp.concatenate([rot6, w2[:, 6:].astype(dtype)], axis=1)
+    end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
+                else cfg.stylegan.log_size - 2)
+    _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
+                                   end_layer=end_pair,
+                                   cfg=cfg.stylegan, dtype=dtype,
+                                   noise_key=noise_key)
+    i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
+    if i_rot01.shape[1] > cfg.rot_seg_size:
+        i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
+    return bisenet.segment_256(zoo["bisenet"], i_rot01)
 
 
 @jax.named_scope("shape_module")
@@ -64,26 +90,9 @@ def shape_module(
         target_mask = mask1
         rot_mask = mask2
     else:
-        w1, w2 = embed1["W"], embed2["W"]
-        rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6].astype(dtype),
-                                     w1[:, :6].astype(dtype))
-        rotate_to = jnp.concatenate([rot6, w2[:, 6:].astype(dtype)], axis=1)
-        # the rotated render is consumed ONLY by the re-segmentation;
-        # cfg.rot_render_pairs (fast path) stops the synthesis at a lower
-        # pair, cfg.rot_seg_size parses at reduced res. Defaults = reference
-        # behavior: full render (Alignment.py:63), parse at full res (:65-67)
-        end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
-                    else cfg.stylegan.log_size - 2)
-        _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
-                                       end_layer=end_pair,
-                                       cfg=cfg.stylegan, dtype=dtype,
-                                       noise_key=noise_key)
-        i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
-        if i_rot01.shape[1] > cfg.rot_seg_size:
-            from hairfastgan_tpu.pipeline.embedding import to_res
-
-            i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
-        rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
+        rot_mask = _rotate_and_segment(
+            zoo, embed2["W"], embed1["W"][:, :6], cfg=cfg, dtype=dtype,
+            noise_key=noise_key)
 
         # only the face code of mask1 and the hair code of the rotated mask
         # are consumed; the reference encodes both codes for both masks and
@@ -113,33 +122,23 @@ def shape_module_pair(
     noise_key: Optional[Array] = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Both of a swap's shape modules — (face,shape) and (face,color) — as
-    ONE B=2b batch (exact; hair_swap.py:49-57 runs them sequentially).
+    ONE B=2b batch (hair_swap.py:49-57 runs them sequentially).
 
     Rotation, the full G render, BiSeNet re-segmentation, hair coding and
     hair decoding are genuinely different per pair and run batched; the
     face-mask path (face encoder + face decoder) depends only on `e_face`
     and runs once at B=b. Returns (sm_shape, sm_color) shaped exactly like
-    two separate `shape_module(..., same=False)` results.
+    two separate `shape_module(..., same=False)` results. EXACT vs the
+    sequential path at the default zero noise; with a `noise_key` both
+    paths draw fresh per-pixel gaussians but elementwise outputs differ
+    (one [2b,...] draw vs two [b,...] draws cannot match bitwise).
     """
     mask1 = e_face["mask"]
     b = mask1.shape[0]
-    w1_6 = e_face["W"][:, :6].astype(dtype)
-    w2 = jnp.concatenate([e_shape["W"], e_color["W"]], axis=0).astype(dtype)
-    rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6],
-                                 jnp.tile(w1_6, (2, 1, 1)))
-    rotate_to = jnp.concatenate([rot6, w2[:, 6:]], axis=1)
-    end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
-                else cfg.stylegan.log_size - 2)
-    _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
-                                   end_layer=end_pair,
-                                   cfg=cfg.stylegan, dtype=dtype,
-                                   noise_key=noise_key)
-    i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
-    if i_rot01.shape[1] > cfg.rot_seg_size:
-        from hairfastgan_tpu.pipeline.embedding import to_res
-
-        i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
-    rot_mask = bisenet.segment_256(zoo["bisenet"], i_rot01)
+    w2 = jnp.concatenate([e_shape["W"], e_color["W"]], axis=0)
+    rot_mask = _rotate_and_segment(
+        zoo, w2, jnp.tile(e_face["W"][:, :6], (2, 1, 1)), cfg=cfg,
+        dtype=dtype, noise_key=noise_key)
 
     face_1 = shape_adaptor.get_face_code(zoo["shape_adaptor"], mask1)
     hair_2 = shape_adaptor.get_hair_code(zoo["shape_adaptor"], rot_mask)

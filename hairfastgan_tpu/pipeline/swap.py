@@ -109,9 +109,14 @@ def hair_fast(
     # face==color / face==shape short-circuits mirroring the reference's
     # identity checks (Alignment.py:60,73).
     if case == "distinct" and cfg.pair_shape_modules:
+        # keys[1] feeds the one batched rotate-render (its [2b,...] draw
+        # covers both pairs independently); keys[0] stays with align's SEAN
+        # decode, mirroring the sequential path's assignment. Exact match
+        # with the sequential path holds at the default zero noise only —
+        # see shape_module_pair's docstring.
         sm_shape, align_color = shape_module_pair(
             zoo, e_face, e_shape, e_color, cfg=cfg, dtype=dtype,
-            noise_key=keys[0])
+            noise_key=keys[1])
         align_shape = align_images(
             zoo, e_face, e_shape, same=False, cfg=cfg, dtype=dtype,
             noise_key=keys[0], sm=sm_shape)

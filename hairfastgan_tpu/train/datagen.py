@@ -98,6 +98,9 @@ def generate_pp_sample(
         "target": to_res(i_blend, 256),
         "target_mask": blend["target_mask"],
         "HT_E": blend["HM_XE"],
+        # full-res source, normed: the adversarial discriminator's real
+        # images (the reference feeds source_1024, pp_train.py:125,162)
+        "source_full": face * 2.0 - 1.0,
     }
 
 

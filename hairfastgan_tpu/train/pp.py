@@ -118,7 +118,11 @@ def pp_loss(
     total = sum(losses.values())
     return total, dict(losses,
                        gen_f_256=jax.lax.stop_gradient(gen_f_256),
-                       gen_w_256=jax.lax.stop_gradient(gen_w_256))
+                       gen_w_256=jax.lax.stop_gradient(gen_w_256),
+                       # full-res F render for the discriminator step
+                       # (reference trains D on gen_im_F.detach(), not a
+                       # 256 crop — pp_train.py:162)
+                       gen_f=jax.lax.stop_gradient(gen_f))
 
 
 def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:

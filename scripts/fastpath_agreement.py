@@ -70,8 +70,9 @@ def main():
     agree = {k: [] for k in variants if k != "exact"}
     agree_nm = {k: [] for k in agree}  # agreement on non-modal pixels only
     iou = {k: [] for k in agree}
-    n_classes, nonmodal_px = 0, 0
+    n_classes, nonmodal_px, n_done = 0, 0, 0
     for i in range(0, args.n, args.batch):
+        n_done += args.batch
         w = jax.random.normal(jax.random.PRNGKey(i),
                               (args.batch, n_lat, 512)) * 0.7
         labs = {k: np.asarray(f(zoo["generator"], zoo["bisenet"], w))
@@ -99,7 +100,7 @@ def main():
            for k in agree}
     out["_diagnostics"] = {
         "classes_present": n_classes,
-        "nonmodal_px_frac": round(nonmodal_px / (args.n * 256 * 256), 5),
+        "nonmodal_px_frac": round(nonmodal_px / (n_done * 256 * 256), 5),
     }
     print(json.dumps(out, indent=2))
 

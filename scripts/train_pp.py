@@ -23,14 +23,14 @@ import numpy as np
 BATCH_KEYS = ("source", "target", "target_mask", "HT_E")
 
 
-def batches(rows, batch_size, seed=0, shuffle=True):
+def batches(rows, batch_size, seed=0, shuffle=True, keys=BATCH_KEYS):
     idx = np.arange(len(rows))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
     for i in range(0, len(idx) - batch_size + 1, batch_size):
         chunk = [np.load(rows[j]) for j in idx[i:i + batch_size]]
         yield tuple(jnp.asarray(np.concatenate([c[k] for c in chunk]))
-                    for k in BATCH_KEYS)
+                    for k in keys)
 
 
 def main():
@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--grid_dir", type=Path, default=None,
                     help="dump [source|target|gen_W|gen_F] validation grids")
     ap.add_argument("--log", type=Path, default=Path("pp_train.jsonl"))
+    ap.add_argument("--tiny", action="store_true",
+                    help="128-res random-weight config (CI smoke runs)")
     args = ap.parse_args()
 
     from hairfastgan_tpu.config import HairFastConfig
@@ -75,10 +77,15 @@ def main():
     from hairfastgan_tpu.train.pp import make_pp_train_steps
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
-    cfg = HairFastConfig()
     key = jax.random.PRNGKey(0)
-    zoo = (load_zoo(args.zoo_dir, cfg) if args.zoo_dir.exists()
-           else init_zoo(key, cfg))
+    if args.tiny:
+        from hairfastgan_tpu.zoo import init_tiny_zoo
+
+        zoo, cfg = init_tiny_zoo(key)
+    else:
+        cfg = HairFastConfig()
+        zoo = (load_zoo(args.zoo_dir, cfg) if args.zoo_dir.exists()
+               else init_zoo(key, cfg))
     # frozen loss nets: BiSeNet-16 (seg.pth), IR-SE-50 id, LPIPS-alex.
     # With a converted checkpoint dir these come from it; otherwise random
     # init (pipeline-shape-correct, for dry runs).
@@ -119,6 +126,22 @@ def main():
     rows = sorted(Path(args.data_dir).glob("*.npz"))
     n_val = max(1, int(len(rows) * args.test_frac))
     val_rows, rows = rows[:n_val], rows[n_val:]
+
+    # adversarial reals: the FULL-RES source (reference pp_train.py:125,162
+    # feeds source_1024 to D and R1). Rows from gen_pp_data.py carry it as
+    # 'source_full'; older rows without it fall back to upsampling the 256
+    # source (distribution is blurrier — regenerate the data if possible).
+    train_keys = BATCH_KEYS
+    upsample_reals = False
+    if args.use_adv and rows:
+        if "source_full" in np.load(rows[0]).files:
+            train_keys = BATCH_KEYS + ("source_full",)
+        else:
+            upsample_reals = True
+            print("WARNING: rows lack 'source_full' — adversarial reals are "
+                  "the 256 sources upsampled to generator res; regenerate "
+                  "with scripts/gen_pp_data.py for true full-res reals")
+
     logger = MetricLogger(str(args.log))
     step_i = 0
     best = float("inf")
@@ -152,14 +175,26 @@ def main():
             disc_params = jax.tree.map(jnp.asarray, state["disc"])
         print(f"resumed from {args.resume} at step {step_i}")
 
+    if upsample_reals:
+        from hairfastgan_tpu.ops.resample import resize as _resize
+
+        size = cfg.stylegan.size
+        up_fn = jax.jit(lambda x: _resize(x, (size, size), "bilinear"))
+
     with plan.mesh:
         for epoch in range(args.epochs):
-            for batch in batches(rows, args.batch_size, seed=epoch):
-                batch = shard_batch(plan, batch)
+            for full in batches(rows, args.batch_size, seed=epoch,
+                                keys=train_keys):
+                full = shard_batch(plan, full)
+                batch, source_full = full[:4], (full[4] if len(full) > 4
+                                                else None)
                 alpha = min(1.0, args.alpha_rate * step_i)
-                if args.use_adv and step_i >= args.iter_before:
+                if args.use_adv:
+                    # warm-up passes disc=None: the adv-free trace of the
+                    # same step (loss_fn unpacks *batch, disc, alpha)
+                    d = (disc_params if step_i >= args.iter_before else None)
                     params, opt_state, aux = enc_step(
-                        params, opt_state, *batch, disc_params, alpha)
+                        params, opt_state, *batch, d, alpha)
                 else:
                     params, opt_state, aux = enc_step(params, opt_state,
                                                       *batch, alpha)
@@ -168,10 +203,13 @@ def main():
                 check_finite_loss(aux["loss"], step_i)
 
                 if args.use_adv and step_i >= args.iter_before and disc_step:
-                    real = batch[1]  # target images stand in for reals
-                    fake = aux["gen_f_256"]
+                    real = (source_full if source_full is not None
+                            else up_fn(batch[0]))
+                    fake = aux["gen_f"]
                     disc_params, d_opt, d_aux = disc_step(disc_params, d_opt,
                                                           real, fake)
+                    logger.log(disc_adv=float(d_aux["disc_adv"]),
+                               disc_grad_norm=float(d_aux["grad_norm"]))
                     if step_i % args.d_reg_every == 0:
                         r1 = r1_step(disc_params, real)
                         logger.log(r1=float(r1))

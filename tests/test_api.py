@@ -141,6 +141,43 @@ def test_swap_batch_sharded_distinct(hf):
     assert np.isfinite(out).all()
 
 
+def test_warmup_compiles_case(hf):
+    """warmup() populates the jit cache for the uint8 serving programs."""
+    hf.warmup(cases=("same",))
+    assert ("same", False) in hf._jitted
+    # warmed program serves a real uint8 request without recompiling
+    rng = np.random.RandomState(6)
+    size = hf.cfg.stylegan.size
+    face = rng.randint(0, 255, (size, size, 3), np.uint8)
+    out = hf.swap(face, face.copy(), face.copy())
+    assert np.isfinite(out).all()
+
+
+def test_swap_batch_chunking(hf):
+    """Single-chip batches beyond cfg.max_batch_per_dispatch split into
+    sequential dispatches (B=16 in one program is measured slower than 2x
+    B=8 on v5e). Verify the slice/concat bookkeeping: each chunk must equal
+    a direct dispatch of those rows with the chunk's folded key."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(hf.cfg, max_batch_per_dispatch=2)
+    hf2 = HairFast(cfg, zoo=hf.zoo)
+    rng = np.random.RandomState(5)
+    size = cfg.stylegan.size
+    one = rng.rand(1, size, size, 3).astype(np.float32)
+    B = 5  # 2 + 2 + ragged 1
+    faces = np.broadcast_to(one, (B, size, size, 3)).copy()
+    out = hf2.swap_batch(faces, faces, faces, case="same")
+    assert out.shape == (B, size, size, 3)
+    assert np.isfinite(out).all()
+    key = jax.random.PRNGKey(cfg.seed)
+    direct, _ = hf2._fn("same")(hf2.zoo, *(jnp.asarray(faces[4:5]),) * 3,
+                                jax.random.fold_in(key, 4))
+    np.testing.assert_allclose(out[4:5], np.asarray(direct), atol=1e-5)
+
+
 def test_swap_stream(hf, tmp_path):
     from PIL import Image
 

@@ -82,6 +82,47 @@ def test_rotate_cli_tiny_epoch(tmp_path):
     assert any("mse_latents" in rec for rec in recs)
 
 
+def _make_pp_rows(tmp_path, gen_size=128):
+    rng = np.random.RandomState(0)
+    data = tmp_path / "pp"
+    data.mkdir()
+    for i in range(4):
+        np.savez(data / f"row_{i:06d}.npz",
+                 source=rng.randn(1, 256, 256, 3).astype(np.float32) * 0.3,
+                 target=rng.randn(1, 256, 256, 3).astype(np.float32) * 0.3,
+                 target_mask=(rng.rand(1, 256, 256, 1) > 0.5).astype(np.float32),
+                 HT_E=(rng.rand(1, 256, 256, 1) > 0.5).astype(np.float32),
+                 source_full=rng.randn(1, gen_size, gen_size, 3)
+                 .astype(np.float32) * 0.3)
+    return data
+
+
+def test_pp_cli_tiny_adversarial(tmp_path):
+    """Two --tiny epochs with --use_adv --iter_before 1: step 0 runs the
+    warm-up (disc=None) trace, step 1 the adversarial trace + D update + R1
+    on the full-res 'source_full' reals — the flow the reference's
+    pretrained-D loading exists for (pp_train.py:121-183)."""
+    data = _make_pp_rows(tmp_path)
+    log = tmp_path / "log.jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.train_pp",
+         "--data_dir", str(data), "--zoo_dir", str(tmp_path / "nozoo"),
+         "--tiny", "--use_adv", "--iter_before", "1", "--d_reg_every", "1",
+         "--epochs", "2", "--batch_size", "2", "--test_frac", "0.5",
+         "--ckpt_dir", str(tmp_path / "ckpt"),
+         "--grid_dir", str(tmp_path / "grids"), "--log", str(log)],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "RANDOM discriminator" in r.stdout  # no ffhq.pkl in the sandbox
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert list((tmp_path / "grids").glob("epoch_*.png"))
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert any("val_loss" in rec for rec in recs)
+    assert any("disc_adv" in rec for rec in recs)  # D actually stepped
+    assert any("r1" in rec for rec in recs)
+
+
 def test_moving_average_loss_matches_reference():
     """MovingAverageLoss mirrors rotate_train.py:26-42: multiplier =
     weight_k / EMA_k with alpha=0.02 and EMA seeded at the first value."""
