@@ -20,7 +20,8 @@ import numpy as np
 
 from hairfastgan_tpu.config import HairFastConfig
 from hairfastgan_tpu.pipeline.swap import hair_fast, swap_cases
-from hairfastgan_tpu.utils.images import equal_replacer, save_image01, to_image_array
+from hairfastgan_tpu.utils.images import (equal_replacer, save_image01,
+                                          to_image_array, to_image_u8)
 from hairfastgan_tpu.utils.timing import BenchSession
 from hairfastgan_tpu.zoo import cast_zoo, init_zoo, load_zoo
 
@@ -61,8 +62,11 @@ class HairFast:
         self._jitted: Dict[str, callable] = {}
         self.bench = BenchSession("swap")
 
-    def _fn(self, case: str, debug: bool = False):
-        key = (case, debug)
+    def _fn(self, case: str, debug: bool = False, u8: bool = False):
+        """u8=True quantizes the final image INSIDE the program (uint8 out
+        of the same dispatch: no second round-trip through the link, 4x
+        less device->host transfer)."""
+        key = (case, debug, u8)
         if key not in self._jitted:
             cfg = self.cfg
 
@@ -75,6 +79,9 @@ class HairFast:
                                 return_intermediate=debug)
                 final = out[0] if debug else out
                 probe = jnp.sum(final[:, 0, 0, 0])  # scalar sync probe
+                if u8 and not debug:
+                    out = jnp.clip(out * 255.0 + 0.5, 0.0,
+                                   255.0).astype(jnp.uint8)
                 return out, probe
 
             self._jitted[key] = fn
@@ -104,21 +111,24 @@ class HairFast:
                 x * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
         return self._jitted["u8"]
 
-    def warmup(self, cases=("distinct",), batch_sizes=(1,)):
+    def warmup(self, cases=("distinct",), batch_sizes=(1,),
+               output: str = "float32"):
         """Compile the swap program(s) ahead of the first request.
 
         Serving cold-start: the fused 1024^2 program compiles in minutes
         cold, ~seconds-to-tens with a warm cfg.compile_cache_dir — doing it
         at process start instead of on the first user request. Warms the
         uint8-input programs `swap`/`swap_stream` dispatch (swap_batch's
-        float-input programs compile separately).
+        float-input programs compile separately); pass output="uint8" to
+        warm the quantized-output variant the CLI serves.
         """
         key = jax.random.PRNGKey(self.cfg.seed)
         size = self.cfg.stylegan.size
         for b in batch_sizes:
             z = jnp.zeros((b, size, size, 3), jnp.uint8)
             for case in cases:
-                _, probe = self._fn(case)(self.zoo, z, z, z, key)
+                _, probe = self._fn(case, u8=(output == "uint8"))(
+                    self.zoo, z, z, z, key)
                 probe.block_until_ready()
         return self
 
@@ -136,21 +146,29 @@ class HairFast:
         reference's optional `poisson_image_blending` post-process, solved
         on-device instead of via the fpie subprocess."""
         size = self.cfg.stylegan.size
-        imgs = [to_image_array(im, size) for im in (face_img, shape_img, color_img)]
         if align:
             from hairfastgan_tpu.utils.face_align import align_faces
 
-            imgs = align_faces(imgs)
-        # ship uint8; the device normalizes (4x less host->device traffic)
-        imgs = [np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
-                for im in imgs]
+            imgs = align_faces([to_image_array(im, size)
+                                for im in (face_img, shape_img, color_img)])
+            imgs = [np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                    for im in imgs]
+        else:
+            # ship uint8; the device normalizes (4x less host->device
+            # traffic). Right-shaped uint8 input passes through copy-free.
+            imgs = [to_image_u8(im, size)
+                    for im in (face_img, shape_img, color_img)]
         imgs = equal_replacer(imgs)
         case = swap_cases(*imgs)
 
         face, shape, color = (jnp.asarray(im)[None] for im in imgs)
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         debug = self.cfg.save_all and exp_name is not None
-        fn = self._fn(case, debug=debug)
+        # quantize inside the program when the caller wants uint8 and no
+        # float post-pass (poisson/debug) needs the float image — the whole
+        # request is then ONE dispatch and a 4x-smaller down-transfer
+        u8_fused = output == "uint8" and not debug and not poisson
+        fn = self._fn(case, debug=debug, u8=u8_fused)
 
         if benchmark:
             self.bench.start()
@@ -163,6 +181,8 @@ class HairFast:
 
         if debug:
             self._dump_intermediates(exp_name, np.asarray(final[0]), inter)
+        if u8_fused:
+            return np.asarray(final[0])
         if output == "uint8":
             return np.asarray(self._u8_fn()(final[0]))
         return np.asarray(final[0], dtype=np.float32)
@@ -203,7 +223,8 @@ class HairFast:
         B=16 in one program is MEASURED SLOWER than 2x B=8 on v5e (HBM
         pressure — see the config knob).
         """
-        fn = self._fn(case)
+        u8 = output == "uint8"
+        fn = self._fn(case, u8=u8)  # u8: quantized inside the program
         args = (jnp.asarray(faces), jnp.asarray(shapes), jnp.asarray(colors))
         n_dev = len(jax.devices())
         b = args[0].shape[0]
@@ -212,7 +233,7 @@ class HairFast:
         if n_dev > 1 and b % n_dev == 0:
             from hairfastgan_tpu.parallel import data_parallel, make_mesh
 
-            dp_key = ("dp", case, n_dev)
+            dp_key = ("dp", case, n_dev, u8)
             if dp_key not in self._jitted:
                 plan = make_mesh(n_data=n_dev)
                 self._jitted[dp_key] = data_parallel(
@@ -226,8 +247,8 @@ class HairFast:
             out = jnp.concatenate(outs)
         else:
             out, _ = fn(self.zoo, *args, key)
-        if output == "uint8":
-            return np.asarray(self._u8_fn()(out))
+        if u8:
+            return np.asarray(out)
         return np.asarray(out, dtype=np.float32)
 
 
@@ -246,7 +267,7 @@ class HairFast:
         from hairfastgan_tpu.utils.images import to_image_array
 
         size = self.cfg.stylegan.size
-        fn = self._fn(case)
+        fn = self._fn(case, u8=(output == "uint8"))
         key = jax.random.PRNGKey(self.cfg.seed)
 
         paths = [p for t in triples for p in t]
@@ -271,8 +292,6 @@ class HairFast:
                                   for j in range(3))
             out, _ = fn(self.zoo, face, shape, color, key)
             final = out[0] if isinstance(out, tuple) else out
-            if output == "uint8":
-                final = self._u8_fn()(final)
             pending.append((i, final))
 
         drained = False

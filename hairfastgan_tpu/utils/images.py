@@ -47,9 +47,31 @@ def to_image_array(img: TImage, size: int = 1024) -> np.ndarray:
 
 
 def to_image_u8(img: TImage, size: int = 1024) -> np.ndarray:
-    """Anything -> [H,W,3] uint8 (device normalizes; 1/4 transfer bytes)."""
+    """Anything -> [H,W,3] uint8 (device normalizes; 1/4 transfer bytes).
+
+    A right-shaped uint8 HWC array passes through copy-free — the serving
+    hot path skips two full-image float conversions.
+    """
+    if (isinstance(img, np.ndarray) and img.dtype == np.uint8
+            and img.shape == (size, size, 3)):
+        return img
     arr = to_image_array(img, size)
     return np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def _same_values(a: np.ndarray, b: np.ndarray) -> bool:
+    """allclose with a strided-sample short circuit: a differing sample
+    already proves inequality, so the full-image compare (the common case —
+    three DISTINCT photos) is skipped."""
+    if a.shape != b.shape:
+        return False
+    sa, sb = a[::31, ::37], b[::31, ::37]
+    if not np.allclose(sa, sb):
+        return False
+    if a.dtype == np.uint8 and b.dtype == np.uint8:
+        # allclose's integer tolerances (rtol*255 < 0.5) are exact equality
+        return np.array_equal(a, b)
+    return np.allclose(a, b)
 
 
 def equal_replacer(images: Sequence[np.ndarray]) -> List[np.ndarray]:
@@ -58,7 +80,7 @@ def equal_replacer(images: Sequence[np.ndarray]) -> List[np.ndarray]:
     out: List[np.ndarray] = []
     for img in images:
         for prev in out:
-            if img is prev or (img.shape == prev.shape and np.allclose(img, prev)):
+            if img is prev or _same_values(img, prev):
                 img = prev
                 break
         out.append(img)

@@ -166,3 +166,46 @@ def test_inception_channel_progression():
     assert d_out.shape[-1] == 1280  # 320+192+768
     e_out = _inception_e(p["e1"], jax.random.normal(KEY, (1, 8, 8, 1280)))
     assert e_out.shape[-1] == 2048  # 320+768+768+192
+
+
+def test_equal_replacer_semantics():
+    """Mirrors reference utils/image_utils.py:15-24: value-equal arrays
+    collapse to ONE object; the strided-sample short circuit must not
+    change the verdict for equal, near-equal, or distinct images."""
+    import numpy as np
+
+    from hairfastgan_tpu.utils.images import equal_replacer
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(64, 64, 3).astype(np.float32)
+    b = a.copy()                      # value-equal -> same object
+    c = rng.rand(64, 64, 3).astype(np.float32)
+    d = a.copy()
+    d[5, 5, 0] += 1.0                 # differs OFF the sample grid
+    out = equal_replacer([a, b, c, d])
+    assert out[1] is out[0]
+    assert out[2] is not out[0]
+    assert out[3] is not out[0]      # full compare catches the off-grid diff
+
+    ua = (a * 255).astype(np.uint8)
+    ub = ua.copy()
+    uc = ua.copy()
+    uc[63, 63, 2] ^= 1               # 1-LSB uint8 diff off the sample grid
+    uout = equal_replacer([ua, ub, uc])
+    assert uout[1] is uout[0]
+    assert uout[2] is not uout[0]
+
+
+def test_to_image_u8_passthrough():
+    """Right-shaped uint8 input must pass through copy-free (serving hot
+    path); everything else converts as before."""
+    import numpy as np
+
+    from hairfastgan_tpu.utils.images import to_image_u8
+
+    u8 = np.random.RandomState(1).randint(0, 255, (32, 32, 3), np.uint8)
+    assert to_image_u8(u8, size=32) is u8
+    f = u8.astype(np.float32) / 255.0
+    conv = to_image_u8(f, size=32)
+    assert conv.dtype == np.uint8
+    np.testing.assert_array_equal(conv, u8)
