@@ -264,20 +264,24 @@ class HairFast:
         """
         from hairfastgan_tpu.data.native_loader import (
             NativeImageLoader, native_available)
-        from hairfastgan_tpu.utils.images import to_image_array
+        from hairfastgan_tpu.utils.images import to_image_u8
 
         size = self.cfg.stylegan.size
         fn = self._fn(case, u8=(output == "uint8"))
         key = jax.random.PRNGKey(self.cfg.seed)
 
+        # uint8 end-to-end: the loader prefetches raw u8 pixels and the
+        # swap program normalizes on device — 4x less host->device traffic
+        # and the same compiled program as the single-swap path.
         paths = [p for t in triples for p in t]
         if native_available():
             loader = NativeImageLoader([str(p) for p in paths],
-                                       out_size=size, threads=4)
+                                       out_size=size, threads=4,
+                                       dtype=np.uint8)
             images: Dict[int, np.ndarray] = {}
             got = iter(loader)
         else:
-            images = {i: to_image_array(p, size) for i, p in enumerate(paths)}
+            images = {i: to_image_u8(p, size) for i, p in enumerate(paths)}
             got = iter(())
 
         pending = []  # (triple_idx, device result) — async in flight

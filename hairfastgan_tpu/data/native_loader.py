@@ -44,6 +44,16 @@ def _load_lib():
     lib.hfl_load_one.restype = ctypes.c_int
     lib.hfl_load_one.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_float)]
+    lib.hfl_create2.restype = ctypes.c_void_p
+    lib.hfl_create2.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int]
+    lib.hfl_next_bytes.restype = ctypes.c_int
+    lib.hfl_next_bytes.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.hfl_load_one_u8.restype = ctypes.c_int
+    lib.hfl_load_one_u8.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_ubyte)]
     _lib = lib
     return lib
 
@@ -67,30 +77,54 @@ def load_image_native(path: str, out_size: int = 1024) -> np.ndarray:
     return out
 
 
+def load_image_native_u8(path: str, out_size: int = 1024) -> np.ndarray:
+    """One image -> [out_size, out_size, 3] uint8.
+
+    Serving fast path: the swap programs normalize uint8 on-device
+    (pipeline/embedding.py), so u8 ships 4x fewer bytes host->device.
+    """
+    lib = _load_lib()
+    out = np.empty((out_size, out_size, 3), np.uint8)
+    ok = lib.hfl_load_one_u8(
+        str(path).encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if not ok:
+        raise IOError(f"native decode failed for {path}")
+    return out
+
+
 class NativeImageLoader:
     """Threaded prefetching loader over a list of paths.
 
     Iterates (index, image) in completion order; decode failures yield
     index < 0 and are skipped with a warning.
+
+    dtype np.uint8 prefetches raw u8 pixels (4x smaller queue + host->device
+    transfer; the swap programs normalize u8 on-device), np.float32 the
+    reference-equivalent [0,1] floats.
     """
 
     def __init__(self, paths: Sequence[str], out_size: int = 1024,
-                 threads: int = 4):
+                 threads: int = 4, dtype=np.float32):
         self._lib = _load_lib()
         self.paths = [str(p) for p in paths]
         self.out_size = out_size
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.float32), np.dtype(np.uint8)):
+            raise ValueError(f"dtype must be float32 or uint8, got {dtype}")
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
-        self._handle = self._lib.hfl_create(arr, len(self.paths), out_size,
-                                            threads)
+        fmt = 1 if self.dtype == np.uint8 else 0
+        self._handle = self._lib.hfl_create2(arr, len(self.paths), out_size,
+                                             threads, fmt)
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
         idx = ctypes.c_int(0)
         while True:
-            out = np.empty((self.out_size, self.out_size, 3), np.float32)
-            ok = self._lib.hfl_next(
+            out = np.empty((self.out_size, self.out_size, 3), self.dtype)
+            ok = self._lib.hfl_next_bytes(
                 self._handle,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                out.ctypes.data_as(ctypes.c_void_p),
                 ctypes.byref(idx))
             if not ok:
                 break

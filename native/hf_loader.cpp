@@ -12,9 +12,17 @@
 //
 // C ABI (stable, ctypes-friendly):
 //   void* hfl_create(const char** paths, int n, int out_size, int threads);
+//   void* hfl_create2(const char** paths, int n, int out_size, int threads,
+//                     int fmt);                        // fmt: 0=f32, 1=u8
 //   int   hfl_next(void* h, float* out, int* index);   // 1 ok, 0 drained
+//   int   hfl_next_bytes(void* h, void* out, int* index);  // either fmt
 //   void  hfl_destroy(void* h);
 //   int   hfl_load_one(const char* path, int out_size, float* out);
+//   int   hfl_load_one_u8(const char* path, int out_size, unsigned char* out);
+//
+// The uint8 format exists for the serving path: the device normalizes
+// uint8 inputs itself (pipeline/embedding.py), so shipping u8 moves 4x
+// fewer bytes host->device and skips the float round-trip buffer.
 
 #include <cstddef>
 #include <cstdio>
@@ -205,16 +213,33 @@ void resize_to_float(const Image& im, int out_size, float* out) {
   }
 }
 
+// uint8 output variant: right-sized images pass through as raw bytes;
+// resized ones quantize round-half-up, matching the Python coercion
+// (utils/images.to_image_u8).
+void resize_to_u8(const Image& im, int out_size, unsigned char* out) {
+  if (im.w == out_size && im.h == out_size) {
+    std::memcpy(out, im.data.data(), size_t(out_size) * out_size * 3);
+    return;
+  }
+  std::vector<float> f(size_t(out_size) * out_size * 3);
+  resize_to_float(im, out_size, f.data());
+  for (size_t i = 0; i < f.size(); ++i) {
+    float v = f[i] * 255.f + 0.5f;
+    out[i] = v <= 0.f ? 0 : (v >= 255.f ? 255 : (unsigned char)v);
+  }
+}
+
 // ----------------------------------------------------------- prefetch pool
 
 struct Item {
   int index;
-  std::vector<float> pixels;
+  std::vector<unsigned char> bytes;  // f32 or u8 pixels, per Loader::fmt
 };
 
 struct Loader {
   std::vector<std::string> paths;
   int out_size;
+  int fmt;  // 0 = float32 [0,1], 1 = uint8
   std::atomic<int> cursor{0};
   std::atomic<int> pending{0};
 
@@ -226,18 +251,26 @@ struct Loader {
 
   std::vector<std::thread> workers;
 
+  size_t item_bytes() const {
+    return size_t(out_size) * out_size * 3 * (fmt ? 1 : sizeof(float));
+  }
+
   void worker() {
     for (;;) {
       int i = cursor.fetch_add(1);
       if (i >= int(paths.size())) break;
       Item item;
       item.index = i;
-      item.pixels.resize(size_t(out_size) * out_size * 3);
+      item.bytes.resize(item_bytes());
       Image im;
       if (decode_file(paths[i].c_str(), &im)) {
-        resize_to_float(im, out_size, item.pixels.data());
+        if (fmt)
+          resize_to_u8(im, out_size, item.bytes.data());
+        else
+          resize_to_float(im, out_size,
+                          reinterpret_cast<float*>(item.bytes.data()));
       } else {
-        std::memset(item.pixels.data(), 0, item.pixels.size() * sizeof(float));
+        std::memset(item.bytes.data(), 0, item.bytes.size());
         item.index = -(i + 1);  // negative marks a decode failure
       }
       std::unique_lock<std::mutex> lk(mu);
@@ -257,10 +290,12 @@ struct Loader {
 
 extern "C" {
 
-void* hfl_create(const char** paths, int n, int out_size, int threads) {
+void* hfl_create2(const char** paths, int n, int out_size, int threads,
+                  int fmt) {
   auto* l = new Loader();
   l->paths.assign(paths, paths + n);
   l->out_size = out_size;
+  l->fmt = fmt ? 1 : 0;
   l->max_queue = size_t(threads) * 2 + 2;
   if (threads < 1) threads = 1;
   l->pending = threads;
@@ -269,7 +304,11 @@ void* hfl_create(const char** paths, int n, int out_size, int threads) {
   return l;
 }
 
-int hfl_next(void* h, float* out, int* index) {
+void* hfl_create(const char** paths, int n, int out_size, int threads) {
+  return hfl_create2(paths, n, out_size, threads, /*fmt=*/0);
+}
+
+int hfl_next_bytes(void* h, void* out, int* index) {
   auto* l = static_cast<Loader*>(h);
   std::unique_lock<std::mutex> lk(l->mu);
   l->cv_pop.wait(lk, [&] { return !l->queue.empty() || l->done; });
@@ -279,8 +318,12 @@ int hfl_next(void* h, float* out, int* index) {
   l->cv_push.notify_one();
   lk.unlock();
   *index = item.index;
-  std::memcpy(out, item.pixels.data(), item.pixels.size() * sizeof(float));
+  std::memcpy(out, item.bytes.data(), item.bytes.size());
   return 1;
+}
+
+int hfl_next(void* h, float* out, int* index) {
+  return hfl_next_bytes(h, out, index);
 }
 
 void hfl_destroy(void* h) {
@@ -299,6 +342,13 @@ int hfl_load_one(const char* path, int out_size, float* out) {
   Image im;
   if (!decode_file(path, &im)) return 0;
   resize_to_float(im, out_size, out);
+  return 1;
+}
+
+int hfl_load_one_u8(const char* path, int out_size, unsigned char* out) {
+  Image im;
+  if (!decode_file(path, &im)) return 0;
+  resize_to_u8(im, out_size, out);
   return 1;
 }
 

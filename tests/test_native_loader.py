@@ -9,6 +9,7 @@ from PIL import Image
 from hairfastgan_tpu.data.native_loader import (
     NativeImageLoader,
     load_image_native,
+    load_image_native_u8,
     native_available,
 )
 
@@ -80,6 +81,37 @@ def test_prefetch_loader_stress(image_files):
     seen = [i for i, _ in loader]
     assert sorted(seen) == list(range(len(paths)))
     assert len(set(seen)) == len(paths)
+    loader.close()
+
+
+def test_load_one_u8_passthrough(image_files):
+    """Right-sized u8 load is an exact byte passthrough of the file."""
+    p = image_files[0]
+    out = load_image_native_u8(p, 96)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, np.asarray(Image.open(p)))
+
+
+def test_load_one_u8_resize_matches_float_quantized(image_files):
+    """Resized u8 == round-half-up of the float path (utils.to_image_u8)."""
+    p = image_files[0]
+    u8 = load_image_native_u8(p, 64)
+    f = load_image_native(p, 64)
+    ref = np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8, ref)
+
+
+def test_prefetch_loader_u8(image_files):
+    """u8 prefetch delivers every index once with u8 arrays matching the
+    single-shot u8 load."""
+    loader = NativeImageLoader(image_files * 4, out_size=32, threads=3,
+                               dtype=np.uint8)
+    got = {i: img for i, img in loader}
+    assert sorted(got) == list(range(12))
+    for i, img in got.items():
+        assert img.dtype == np.uint8
+        ref = load_image_native_u8(image_files[i % 3], 32)
+        np.testing.assert_array_equal(img, ref)
     loader.close()
 
 
