@@ -148,9 +148,15 @@ class HairFast:
         size = self.cfg.stylegan.size
         if align:
             from hairfastgan_tpu.utils.face_align import align_faces
+            from hairfastgan_tpu.utils.images import to_raw_image
 
-            imgs = align_faces([to_image_array(im, size)
-                                for im in (face_img, shape_img, color_img)])
+            # align crops from the ORIGINAL pixels (no pre-resize); the
+            # STAR on-device landmark path is used when the zoo carries
+            # star weights, else dlib (reference recipe)
+            imgs = align_faces([to_raw_image(im)
+                                for im in (face_img, shape_img, color_img)],
+                               output_size=size,
+                               star_params=self.zoo.get("star"))
             imgs = [np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
                     for im in imgs]
         else:

@@ -171,7 +171,6 @@ def init_star(key, classes=WFLW_CLASSES, edge_info=WFLW_EDGE_INFO,
         "stacks": [],
         "e2h_w": jnp.asarray(e2h_w),
         "e2h_b": jnp.asarray(e2h_b),
-        "nstack": nstack,
     }
     for i in range(nstack):
         stack = {
@@ -233,7 +232,7 @@ def star_landmarks(p, img: Array) -> Array:
         fusion = mask * points * heatmaps
         landmarks = _soft_argmax(fusion)
 
-        if i < p["nstack"] - 1:
+        if i < len(p["stacks"]) - 1:
             x = (x + _convblock(st["merge_feat"], feat)
                  + _convblock(st["merge_heat"], heatmaps)
                  + _convblock(st["merge_point"], points)
@@ -300,7 +299,6 @@ def convert_star(sd) -> Dict:
         "stacks": [],
         "e2h_w": jnp.asarray(e2h_w),
         "e2h_b": jnp.asarray(e2h_b),
-        "nstack": nstack,
     }
     for i in range(nstack):
         st = {

@@ -46,6 +46,31 @@ def to_image_array(img: TImage, size: int = 1024) -> np.ndarray:
     return arr
 
 
+def to_raw_image(img: TImage) -> np.ndarray:
+    """Anything -> [H,W,3] float32 in [0,1] at the ORIGINAL size.
+
+    The alignment path crops a quad from the original pixels (reference
+    runs dlib on the unresized photo, utils/shape_predictor.py:49-77);
+    pre-squashing to the generator size would warp the geometry and throw
+    away resolution before the FFHQ transform.
+    """
+    if isinstance(img, (str, Path)):
+        if Image is None:
+            raise RuntimeError("PIL required to load image paths")
+        img = Image.open(str(img)).convert("RGB")
+    if Image is not None and isinstance(img, Image.Image):
+        img = np.asarray(img)
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (1, 2, 0))
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    return arr
+
+
 def to_image_u8(img: TImage, size: int = 1024) -> np.ndarray:
     """Anything -> [H,W,3] uint8 (device normalizes; 1/4 transfer bytes).
 

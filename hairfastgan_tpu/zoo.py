@@ -236,4 +236,13 @@ def load_zoo(checkpoint_dir: Path, cfg: HairFastConfig = HairFastConfig()) -> Di
         "blending": C.convert_blending(blend_sd, clip_params=clip_params),
         "post_process": C.convert_post_process(pp_sd, latent_avg=pp_avg),
     }
+    # optional: STAR landmark model — enables the on-device (dlib-free)
+    # align=True path (utils/face_align.star_landmark_provider) and the
+    # rotate-training keypoint loss. Absent file just omits the entry.
+    star_ckpt = d / "star_wflw.pth"
+    if star_ckpt.exists():
+        from hairfastgan_tpu.models import star
+
+        zoo["star"] = star.convert_star(
+            C.load_torch_state_dict(str(star_ckpt), key="net"))
     return jax.tree.map(jnp.asarray, zoo)

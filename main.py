@@ -34,11 +34,27 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
 
     if args.batch > 1:
         # TPU throughput mode: one XLA dispatch per batch of triples
+        load = to_image_array
+        if args.align:
+            from hairfastgan_tpu.utils.face_align import align_faces
+            from hairfastgan_tpu.utils.images import to_raw_image
+
+            aligned: dict = {}
+            star_p = hair_fast.zoo.get("star")
+
+            def load(p):  # align once per unique photo, then reuse
+                if p not in aligned:
+                    aligned[p] = align_faces(
+                        [to_raw_image(p)],
+                        output_size=hair_fast.cfg.stylegan.size,
+                        star_params=star_p)[0]
+                return aligned[p]
+
         for i in range(0, len(experiments), args.batch):
             chunk = experiments[i:i + args.batch]
-            faces = np.stack([to_image_array(args.input_dir / f) for f, _, _ in chunk])
-            shapes = np.stack([to_image_array(args.input_dir / s) for _, s, _ in chunk])
-            colors = np.stack([to_image_array(args.input_dir / c) for _, _, c in chunk])
+            faces = np.stack([load(args.input_dir / f) for f, _, _ in chunk])
+            shapes = np.stack([load(args.input_dir / s) for _, s, _ in chunk])
+            colors = np.stack([load(args.input_dir / c) for _, _, c in chunk])
             # uint8 from the device: the PNG quantization happens on-chip
             # and the download shrinks 4x (tunnel-bandwidth-bound hosts)
             outs = hair_fast.swap_batch(faces, shapes, colors, output="uint8")
@@ -50,6 +66,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
     for exp in experiments:
         face, shape, color = (args.input_dir / p for p in exp)
         out = hair_fast.swap(face, shape, color, benchmark=args.benchmark,
+                             align=args.align,
                              poisson=args.poisson, output="uint8",
                              exp_name="_".join(Path(p).stem for p in exp))
         name = "_".join(Path(p).stem for p in exp)
@@ -72,6 +89,10 @@ if __name__ == "__main__":
     parser.add_argument("--benchmark", action="store_true")
     parser.add_argument("--batch", type=int, default=1,
                         help="triples per device batch (TPU throughput mode)")
+    parser.add_argument("--align", action="store_true",
+                        help="FFHQ-align in-the-wild photos first (STAR "
+                             "on-device landmarks when star_wflw.pth is in "
+                             "the zoo, else dlib)")
     parser.add_argument("--poisson", action="store_true",
                         help="final on-device Poisson composite of the "
                              "original photo outside the hair region "

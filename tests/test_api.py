@@ -53,6 +53,27 @@ def test_swap_uint8_output(hf):
     assert np.abs(u8.astype(np.int16) - expect.astype(np.int16)).max() <= 1
 
 
+def test_swap_align_star_path(hf):
+    """align=True with STAR weights in the zoo: detector-free on-device
+    landmarks -> FFHQ quad crop of the RAW (unresized) photo -> swap.
+    No dlib import anywhere on this path."""
+    from hairfastgan_tpu.models import star
+
+    edge_info = tuple((True, tuple(range(98))) for _ in range(9))
+    hf.zoo["star"] = star.init_star(KEY, classes=(98, 9, 98),
+                                    edge_info=edge_info, nstack=1,
+                                    nlevels=2, channels=8)
+    try:
+        rng = np.random.RandomState(3)
+        size = hf.cfg.stylegan.size
+        raw = rng.rand(200, 170, 3).astype(np.float32)  # in-the-wild shape
+        out = hf.swap(raw, raw.copy(), raw.copy(), align=True)
+        assert out.shape == (size, size, 3)
+        assert np.isfinite(out).all()
+    finally:
+        del hf.zoo["star"]
+
+
 def test_swap_save_all_dumps(hf):
     rng = np.random.RandomState(1)
     size = hf.cfg.stylegan.size

@@ -82,6 +82,41 @@ def test_rotate_cli_tiny_epoch(tmp_path):
     assert any("mse_latents" in rec for rec in recs)
 
 
+def test_gen_rotate_data_tiny(tmp_path):
+    """gen_rotate_data --tiny emits pose/hair rows the trainer can consume
+    (reference rotate_gen.py analog; kp zeros under --no_keypoints)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    inp = tmp_path / "imgs"
+    inp.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (128, 128, 3), np.uint8)).save(
+            str(inp / f"f{i}.png"))
+    pose, hair = tmp_path / "pose", tmp_path / "hair"
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.gen_rotate_data",
+         "--input_dir", str(inp), "--n_pairs", "3",
+         "--pose_dir", str(pose), "--hair_dir", str(hair),
+         "--zoo_dir", str(tmp_path / "nozoo"), "--tiny", "--no_keypoints"],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    pose_rows = sorted(pose.glob("*.npz"))
+    hair_rows = sorted(hair.glob("*.npz"))
+    assert len(pose_rows) == 3 and len(hair_rows) == 3
+    p = np.load(pose_rows[0])
+    assert p["I_from"].shape == (1, 256, 256, 3)
+    assert p["kp_to"].shape == (1, 76, 2)
+    assert p["W_from"].shape == (1, N_LATENT_TINY, 512)
+    assert np.isfinite(p["I_from"]).all() and np.isfinite(p["W_from"]).all()
+    h = np.load(hair_rows[0])
+    assert h["W_from"].shape == h["W_to"].shape == (1, N_LATENT_TINY, 512)
+    # cycle structure: hair W_from rows 6: are the pose row's W_from rows 6:
+    np.testing.assert_array_equal(h["W_from"][:, 6:], p["W_from"][:, 6:])
+    np.testing.assert_array_equal(h["W_from"][:, :6], p["W_to"][:, :6])
+    np.testing.assert_array_equal(h["W_to"], p["W_from"])
+
+
 def _make_pp_rows(tmp_path, gen_size=128):
     rng = np.random.RandomState(0)
     data = tmp_path / "pp"
