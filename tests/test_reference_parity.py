@@ -109,6 +109,22 @@ def _install_shims():
     sys.modules["clip"] = clip_mod
     sys.modules.setdefault("gdown", types.ModuleType("gdown"))
 
+    # skimage (absent): STAR's dataset augmentation imports it at module
+    # scope (models/STAR/lib/dataset/augmentation.py:6); only the name is
+    # needed to import the backbone package
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.transform = types.ModuleType("skimage.transform")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk.transform
+
+    # scipy>=1.14 removed the `simps` alias STAR's metric module imports
+    # (models/STAR/lib/metric/fr_and_auc.py:2)
+    import scipy.integrate as _si
+
+    if not hasattr(_si, "simps"):
+        _si.simps = _si.simpson
+
     # zero egress: Resnet18.init_weight downloads torchvision resnet18
     # weights (face_parsing/resnet.py:82-90); random init is what we want
     import torch.utils.model_zoo as model_zoo
@@ -601,3 +617,47 @@ def test_post_process_parity(ref, tmp_path, monkeypatch):
     s_j, f_j = post_process_model(p, to_nhwc(src), to_nhwc(tgt))
     assert_close(s_t, s_j, atol=1e-3, name="PP S_final")
     assert_close(f_t, nchw(f_j), atol=1e-3, name="PP F_final")
+
+
+# ---------------------------------------------------------------------------
+# STAR landmark net (models/STAR/lib/backbone/stackedHGNetV1.py)
+# ---------------------------------------------------------------------------
+
+def test_star_parity(ref):
+    """Real StackedHGNetV1 (WFLW config, conf/alignment.py:154-189) vs
+    models/star.py via convert_star — covers CoordConv channel order,
+    hourglass recursion, AAM edge/point fusion, in+relu heatmap activation,
+    BN baking, and the soft-argmax decoder."""
+    from models.STAR.lib.backbone.stackedHGNetV1 import StackedHGNetV1
+
+    from hairfastgan_tpu.models import star as jstar
+
+    # the reference conf's WFLW edge table (conf/alignment.py:154-165);
+    # assert our copied constant matches it before using it on both sides
+    EDGE_INFO = (
+        (False, tuple(range(0, 33))),     # FaceContour
+        (True, tuple(range(33, 42))),     # RightEyebrow
+        (True, tuple(range(42, 51))),     # LeftEyebrow
+        (False, (51, 52, 53, 54)),        # NoseLine
+        (False, (55, 56, 57, 58, 59)),    # Nose
+        (True, tuple(range(60, 68))),     # RightEye
+        (True, tuple(range(68, 76))),     # LeftEye
+        (True, tuple(range(76, 88))),     # OuterLip
+        (True, tuple(range(88, 96))),     # InnerLip
+    )
+    assert jstar.WFLW_EDGE_INFO == EDGE_INFO
+
+    torch.manual_seed(9)
+    cfg = SimpleNamespace(width=256, height=256, use_AAM=True)
+    net = StackedHGNetV1(config=cfg, classes_num=[98, 9, 98],
+                         edge_info=EDGE_INFO, nstack=4, nlevels=4,
+                         add_coord=True, decoder_type="default").eval()
+    randomize(net)
+    p = jax.tree.map(jnp.asarray, jstar.convert_star(sd_numpy(net)))
+
+    x = torch.randn(2, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        _, fusion_t, lm_t = net(x)
+    lm_j = jstar.star_landmarks(p, to_nhwc(x))
+    assert lm_t.shape == (2, 98, 2) and lm_j.shape == (2, 98, 2)
+    assert_close(lm_t, lm_j, atol=1e-3, name="STAR landmarks")
