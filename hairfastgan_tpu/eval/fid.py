@@ -46,6 +46,16 @@ class FIDStats:
         cov = (self.outer - self.n * np.outer(mu, mu)) / (self.n - 1)
         return mu, cov
 
+    def save(self, path) -> None:
+        """Persist the accumulator (reference caches real-dataset FID stats
+        across runs in input/fid.pkl, utils/train.py:125-161)."""
+        np.savez(path, n=self.n, sum=self.sum, outer=self.outer)
+
+    @classmethod
+    def load(cls, path) -> "FIDStats":
+        z = np.load(path)
+        return cls(n=int(z["n"]), sum=z["sum"], outer=z["outer"])
+
 
 def _sqrtm_product_trace(s1: Array, s2: Array) -> float:
     """tr((s1 s2)^{1/2}) via eigenvalues of the (non-symmetric) product."""

@@ -33,6 +33,26 @@ def load_dir(d: Path, size: int = 299, limit: int = 0):
     return np.stack([to_image_array(p, size) for p in paths])
 
 
+def real_stats(real_dir: Path, feat_fn, cache: Path = None, size: int = 299,
+               batch: int = 64, limit: int = 0):
+    """(mu, cov) of a real-image dir through feat_fn, npz-cached across
+    runs — the reference caches real-dataset FID stats in input/fid.pkl
+    (utils/train.py:125-161); re-featurizing thousands of images every
+    training run is the expensive part."""
+    from hairfastgan_tpu.eval.fid import FIDStats
+
+    if cache is not None and Path(cache).exists():
+        return FIDStats.load(cache).finalize()
+    imgs = load_dir(real_dir, size=size, limit=limit)
+    s = FIDStats()
+    for i in range(0, len(imgs), batch):
+        s.update(feat_fn(imgs[i:i + batch]))
+    if cache is not None:
+        Path(cache).parent.mkdir(parents=True, exist_ok=True)
+        s.save(cache)
+    return s.finalize()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--real_dir", type=Path, required=True)
@@ -40,6 +60,9 @@ def main():
     ap.add_argument("--zoo_dir", type=Path, default=Path("pretrained_models_jax"))
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--fid_cache", type=Path, default=None,
+                    help="npz cache of the real-dir stats (reference "
+                         "input/fid.pkl analog)")
     ap.add_argument("--out_csv", type=Path, default=Path("fid_results.csv"))
     args = ap.parse_args()
 
@@ -52,11 +75,8 @@ def main():
            else init_zoo(jax.random.PRNGKey(0), cfg))
     feat = clip_feature_fn(jax.device_put(zoo["blending"]["clip"]))
 
-    real = load_dir(args.real_dir, limit=args.limit)
-    sr = FIDStats()
-    for i in range(0, len(real), args.batch):
-        sr.update(feat(real[i:i + args.batch]))
-    mu_r, cov_r = sr.finalize()
+    mu_r, cov_r = real_stats(args.real_dir, feat, cache=args.fid_cache,
+                             batch=args.batch, limit=args.limit)
 
     lines = ["method,fid_clip"]
     for md in args.method_dirs:

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--test_frac", type=float, default=0.1)
+    ap.add_argument("--fid_cache", type=Path, default=None,
+                    help="npz cache of the real-dir CLIP stats across runs "
+                         "(reference input/fid.pkl, utils/train.py:125-161)")
     ap.add_argument("--fid_real_dir", type=Path, default=None,
                     help="real-face dir for per-validation FID-CLIP "
                          "(blending_train.py:127-167)")
@@ -98,18 +101,14 @@ def main():
                                      layer_in=align_f, cfg=cfg.stylegan)
         return jnp.clip((to_res(img, 256) + 1) / 2, 0, 1)
 
-    fid_stats_real = None
     feat_fn = None
     if args.fid_real_dir is not None:
-        from hairfastgan_tpu.eval.fid import FIDStats, clip_feature_fn, frechet_distance
-        from scripts.fid_metric import load_dir
+        from hairfastgan_tpu.eval.fid import clip_feature_fn
+        from scripts.fid_metric import real_stats
 
         feat_fn = clip_feature_fn(frozen["clip"])
-        real = load_dir(args.fid_real_dir, size=256)
-        fid_stats_real = FIDStats()
-        for i in range(0, len(real), 64):
-            fid_stats_real.update(feat_fn(real[i:i + 64]))
-        fid_real = fid_stats_real.finalize()
+        fid_real = real_stats(args.fid_real_dir, feat_fn, size=256,
+                              cache=args.fid_cache)
 
     with plan.mesh:
         for epoch in range(args.epochs):

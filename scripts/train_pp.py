@@ -56,6 +56,9 @@ def main():
                     help="orbax train-state dir to resume from (restores "
                          "params/opt_state/step like pp_train.py:114-119)")
     ap.add_argument("--test_frac", type=float, default=0.1)
+    ap.add_argument("--fid_cache", type=Path, default=None,
+                    help="npz cache of the real-dir CLIP stats across runs "
+                         "(reference input/fid.pkl, utils/train.py:125-161)")
     ap.add_argument("--fid_real_dir", type=Path, default=None,
                     help="real-face dir for per-validation FID-CLIP "
                          "(pp_train.py:221 'FID CLIP')")
@@ -154,15 +157,12 @@ def main():
     fid_real = None
     feat_fn = None
     if args.fid_real_dir is not None:
-        from hairfastgan_tpu.eval.fid import FIDStats, clip_feature_fn
-        from scripts.fid_metric import load_dir
+        from hairfastgan_tpu.eval.fid import clip_feature_fn
+        from scripts.fid_metric import real_stats
 
         feat_fn = clip_feature_fn(zoo["blending"]["clip"])
-        real = load_dir(args.fid_real_dir, size=256)
-        stats = FIDStats()
-        for i in range(0, len(real), 64):
-            stats.update(feat_fn(real[i:i + 64]))
-        fid_real = stats.finalize()
+        fid_real = real_stats(args.fid_real_dir, feat_fn, size=256,
+                              cache=args.fid_cache)
 
     if args.resume is not None:
         from hairfastgan_tpu.params.checkpoint import restore_train_state

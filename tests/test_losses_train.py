@@ -135,6 +135,39 @@ def test_fid_stats():
     assert diff > 8 * 3  # ~ ||2||^2 * dims
 
 
+def test_fid_stats_cache_roundtrip(tmp_path):
+    """FIDStats.save/load + scripts.fid_metric.real_stats npz cache: the
+    second call must read the cache, not the image dir (reference
+    input/fid.pkl behavior, utils/train.py:125-161)."""
+    from PIL import Image
+
+    from hairfastgan_tpu.eval.fid import FIDStats
+    from scripts.fid_metric import real_stats
+
+    rng = np.random.RandomState(0)
+    s = FIDStats().update(rng.randn(100, 8))
+    s.save(tmp_path / "stats.npz")
+    s2 = FIDStats.load(tmp_path / "stats.npz")
+    np.testing.assert_allclose(s2.finalize()[0], s.finalize()[0])
+    np.testing.assert_allclose(s2.finalize()[1], s.finalize()[1])
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            str(d / f"{i}.png"))
+    feat = lambda x: x.reshape(x.shape[0], -1)[:, :16].astype(np.float64)
+    cache = tmp_path / "fid_cache.npz"
+    mu1, cov1 = real_stats(d, feat, cache=cache, size=32)
+    assert cache.exists()
+    for p in d.iterdir():
+        p.unlink()
+    d.rmdir()  # gone: a second call can only succeed via the cache
+    mu2, cov2 = real_stats(d, feat, cache=cache, size=32)
+    np.testing.assert_allclose(mu2, mu1)
+    np.testing.assert_allclose(cov2, cov1)
+
+
 def test_nan_guard():
     from hairfastgan_tpu.train.common import check_finite_loss
 
