@@ -215,3 +215,17 @@ def test_swap_stream(hf, tmp_path):
     for v in results.values():
         assert v.shape == (size, size, 3)
         assert np.isfinite(v).all()
+
+    # PIL fallback (no native toolchain): right-sized PNGs are u8
+    # passthrough on BOTH paths, so results must be bit-identical
+    import hairfastgan_tpu.data.native_loader as nl
+
+    orig = nl.native_available
+    nl.native_available = lambda: False
+    try:
+        fallback = dict(hf.swap_stream(triples))
+    finally:
+        nl.native_available = orig
+    assert sorted(fallback) == [0, 1]
+    for i in results:
+        np.testing.assert_array_equal(fallback[i], results[i])
