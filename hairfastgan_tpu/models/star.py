@@ -122,7 +122,6 @@ def init_hourglass(key, n: int, f: int, add_coord: bool, first_one: bool):
         "up1": init_resblock(ks[0], f, f),
         "low1": init_resblock(ks[1], f, f),
         "low3": init_resblock(ks[2], f, f),
-        "n": n,
     }
     if n > 1:
         p["low2"] = init_hourglass(ks[3], n - 1, f, False, False)
@@ -140,7 +139,10 @@ def hourglass(p, x: Array, heatmap: Optional[Array] = None) -> Array:
     up1 = resblock(p["up1"], x)
     low = max_pool(x, 2, 2)
     low = resblock(p["low1"], low)
-    if p["n"] > 1:
+    # nested hourglass vs leaf resblock is pytree STRUCTURE (always
+    # static under jit) — "up1" only exists on hourglass nodes; a raw int
+    # leaf here becomes a tracer when the params are jit arguments
+    if "up1" in p["low2"]:
         low = hourglass(p["low2"], low)
     else:
         low = resblock(p["low2"], low)
@@ -279,7 +281,6 @@ def convert_star(sd) -> Dict:
             "up1": rb(f"{name}.up1"),
             "low1": rb(f"{name}.low1"),
             "low3": rb(f"{name}.low3"),
-            "n": n,
         }
         if n > 1:
             out["low2"] = hg(f"{name}.low2", n - 1, False)

@@ -83,15 +83,20 @@ def star_landmark_provider(star_params, n_points: int = 98,
     Returns fn: [H,W,3] float [0,1] -> [n_points,2] pixel coords (x, y)
     in the input image's frame.
     """
+    import jax
     import jax.numpy as jnp
 
     from hairfastgan_tpu.models.star import star_landmarks
     from hairfastgan_tpu.ops.resample import resize
 
+    # fixed 256^2 shape -> ONE compiled program; eager would dispatch the
+    # whole hourglass op-by-op (hundreds of round-trips through the tunnel)
+    lm_256 = jax.jit(lambda x: star_landmarks(star_params, x * 2.0 - 1.0))
+
     def run_256(img01: np.ndarray) -> np.ndarray:
         x = resize(jnp.asarray(img01, jnp.float32)[None], (256, 256),
                    "bilinear")
-        lm = star_landmarks(star_params, x * 2.0 - 1.0)  # [-1,1] coords
+        lm = lm_256(x)  # [-1,1] coords
         return (np.asarray(lm[0, :n_points], np.float64) + 1.0) / 2.0
 
     def fn(img01: np.ndarray) -> np.ndarray:
