@@ -259,14 +259,27 @@ class HairFast:
 
 
     def swap_stream(self, triples, case: str = "distinct", depth: int = 3,
-                    output: str = "float32"):
+                    output: str = "float32", batch: int = 1):
         """Serving path: iterate (index, final_image) over many triples,
         overlapping host decode (native C++ loader) with device compute.
 
         `triples`: sequence of (face_path, shape_path, color_path). JAX
-        dispatch is async — up to `depth` swaps stay in flight on the chip
-        while further triples decode on host threads; the host only blocks
-        fetching the OLDEST in-flight result once the pipeline is full.
+        dispatch is async — up to `depth` dispatches stay in flight on the
+        chip while further triples decode on host threads; the host only
+        blocks fetching the OLDEST in-flight result once the pipeline is
+        full.
+
+        `batch` > 1 micro-batches: consecutive decoded triples are grouped
+        into one [batch, ...] dispatch (B=8 is the measured v5e throughput
+        sweet spot — see swap_batch). The final partial group is padded by
+        repeating its last triple so ONE compiled shape serves the whole
+        stream; latency per result rises toward the batched program's
+        runtime, throughput approaches swap_batch's. NOTE: through the
+        tunneled single-chip dev setup the stream measures ~3.5 triples/s
+        at EITHER batch size — host->device upload (3x ~1 MB jpeg/triple)
+        is the wall there, not compute; the batching win appears on
+        directly-attached TPUs where swap_batch(B=8) is ~50% faster than
+        B=1.
         """
         from hairfastgan_tpu.data.native_loader import (
             NativeImageLoader, native_available)
@@ -290,28 +303,37 @@ class HairFast:
             images = {i: to_image_u8(p, size) for i, p in enumerate(paths)}
             got = iter(())
 
-        pending = []  # (triple_idx, device result) — async in flight
+        pending = []  # (triple idxs, device result) — async in flight
         next_needed = 0
         n = len(triples)
 
         def ready(i):
             return all(3 * i + j in images for j in range(3))
 
-        def launch(i):
-            face, shape, color = (jnp.asarray(images.pop(3 * i + j))[None]
-                                  for j in range(3))
+        def launch(idxs):
+            # pad a partial tail group by repeating its last triple: one
+            # compiled [batch, ...] shape serves the whole stream
+            pad = list(idxs) + [idxs[-1]] * (batch - len(idxs))
+            face, shape, color = (
+                jnp.asarray(np.stack([images[3 * i + j] for i in pad]))
+                for j in range(3))
+            for i in idxs:
+                for j in range(3):
+                    images.pop(3 * i + j)
             out, _ = fn(self.zoo, face, shape, color, key)
             final = out[0] if isinstance(out, tuple) else out
-            pending.append((i, final))
+            pending.append((idxs, final))
 
         drained = False
         while next_needed < n or pending:
             # fill the device pipeline: launch while slots are free,
             # consuming decode results as they arrive
             while next_needed < n and len(pending) < depth:
-                if ready(next_needed):
-                    launch(next_needed)
-                    next_needed += 1
+                group = list(range(next_needed,
+                                   min(next_needed + batch, n)))
+                if all(ready(i) for i in group):
+                    launch(group)
+                    next_needed = group[-1] + 1
                 elif not drained:
                     try:
                         idx, img = next(got)
@@ -319,15 +341,18 @@ class HairFast:
                     except StopIteration:
                         drained = True
                 else:
-                    missing = [3 * next_needed + j for j in range(3)
-                               if 3 * next_needed + j not in images]
-                    raise IOError(f"decode failed for triple {next_needed} "
+                    bad = next(i for i in group if not ready(i))
+                    missing = [3 * bad + j for j in range(3)
+                               if 3 * bad + j not in images]
+                    raise IOError(f"decode failed for triple {bad} "
                                   f"(images {missing})")
             if pending:
-                i, dev = pending.pop(0)
-                arr = np.asarray(dev[0])
-                yield i, (arr if output == "uint8"
-                          else arr.astype(np.float32, copy=False))
+                idxs, dev = pending.pop(0)
+                host = np.asarray(dev)
+                for j, i in enumerate(idxs):
+                    arr = host[j]
+                    yield i, (arr if output == "uint8"
+                              else arr.astype(np.float32, copy=False))
 
 
 def get_parser() -> argparse.ArgumentParser:

@@ -229,3 +229,12 @@ def test_swap_stream(hf, tmp_path):
     assert sorted(fallback) == [0, 1]
     for i in results:
         np.testing.assert_array_equal(fallback[i], results[i])
+
+    # micro-batching (batch=2, incl. the padded partial tail over 3
+    # triples): same per-triple results as the B=1 stream
+    triples3 = triples + [(paths[0], paths[4], paths[2])]
+    solo = dict(hf.swap_stream(triples3))
+    micro = dict(hf.swap_stream(triples3, batch=2))
+    assert sorted(micro) == [0, 1, 2]
+    for i in solo:
+        np.testing.assert_allclose(micro[i], solo[i], atol=2e-4)
