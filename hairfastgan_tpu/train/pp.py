@@ -133,7 +133,8 @@ def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:
 
 def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                         cfg: HairFastConfig = HairFastConfig(),
-                        lr: float = 1e-4, use_adv: bool = False):
+                        lr: float = 1e-4, use_adv: bool = False,
+                        remat: bool = False):
     tx = adam_with_clip(lr)
 
     def loss_fn(params, *batch_and_disc):
@@ -146,7 +147,9 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                               disc_params, cfg)
         return losses, aux
 
-    enc_step = make_train_step(loss_fn, tx, donate=False)
+    # remat: the encoder loss renders the frozen generator 3x (W path,
+    # F path, full) — rematerializing those renders is most of the win
+    enc_step = make_train_step(loss_fn, tx, donate=False, remat=remat)
 
     disc_step = d_tx = None
     if use_adv:

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--use_adv", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the loss forward on backward "
+                         "(jax.checkpoint): trades ~1 extra forward of "
+                         "FLOPs for the 1024^2 render activations' HBM — "
+                         "use for larger per-chip batches")
     ap.add_argument("--disc_pkl", type=Path, default=None,
                     help="NVlabs ffhq.pkl to start the adversarial phase from "
                          "the pretrained D (reference pp_train.py:59-63); "
@@ -105,7 +110,8 @@ def main():
     params = replicate(plan, params)
 
     enc_step, disc_step, r1_step, tx, d_tx = make_pp_train_steps(
-        frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv)
+        frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv,
+        remat=args.remat)
     opt_state = replicate(plan, tx.init(params))
 
     disc_params = d_opt = None

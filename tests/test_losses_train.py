@@ -135,6 +135,41 @@ def test_fid_stats():
     assert diff > 8 * 3  # ~ ||2||^2 * dims
 
 
+def test_train_step_remat_equivalence():
+    """remat=True (jax.checkpoint) must produce bit-comparable updates —
+    same math, recomputed on backward (the HBM lever for adversarial PP
+    training at 1024^2)."""
+    from hairfastgan_tpu.models import encoders
+    from hairfastgan_tpu.train.common import adam_with_clip, make_train_step
+    from hairfastgan_tpu.train.rotate import rotate_hair_loss
+
+    params = encoders.init_rotate_model(KEY)
+    tx = adam_with_clip(1e-3)
+    loss = lambda p, wf, wt: rotate_hair_loss(p, (wf, wt))
+    plain = make_train_step(loss, tx, donate=False)
+    remat = make_train_step(loss, tx, donate=False, remat=True)
+
+    wf = jax.random.normal(KEY, (2, 6, 512)) * 0.3
+    wt = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 512)) * 0.3
+    p0, o0, a0 = plain(params, tx.init(params), wf, wt)
+    p1, o1, a1 = remat(params, tx.init(params), wf, wt)
+    assert float(a0["loss"]) == pytest.approx(float(a1["loss"]), rel=1e-6)
+    assert float(a0["grad_norm"]) == pytest.approx(float(a1["grad_norm"]),
+                                                   rel=1e-5)
+    # grads are recomputation-exact to f32 ULP; Adam's m/(sqrt(v)+eps)
+    # amplifies that ULP noise on near-zero grads to ~lr-scale, so params
+    # compare at lr/5
+    g0 = jax.grad(lambda p: loss(p, wf, wt)[0])(params)
+    g1 = jax.grad(lambda p: jax.checkpoint(
+        lambda q: loss(q, wf, wt)[0])(p))(params)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6,
+                                   rtol=0)
+    for x, y in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4,
+                                   rtol=0)
+
+
 def test_fid_stats_cache_roundtrip(tmp_path):
     """FIDStats.save/load + scripts.fid_metric.real_stats npz cache: the
     second call must read the cache, not the image dir (reference
