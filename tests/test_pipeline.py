@@ -153,3 +153,59 @@ def test_face_eq_color_case(tiny, images):
 def test_swap_cases_face_eq_color(images):
     face, shape, _ = images
     assert swap_cases(face, shape, face) == "face_eq_color"
+
+
+def test_datagen_rows_feed_trainers(tiny, images):
+    """Dataset generators -> training losses, chained: the blending row
+    drives blending_loss, the pp row drives pp_loss — catches any
+    generator-output / trainer-input contract drift (the reference's
+    *_gen.py -> *_train.py handoff)."""
+    from hairfastgan_tpu.losses.identity import init_irse_backbone
+    from hairfastgan_tpu.losses.perceptual import init_lpips_alex
+    from hairfastgan_tpu.models import bisenet
+    from hairfastgan_tpu.train.blending import blending_loss
+    from hairfastgan_tpu.train.datagen import (
+        generate_blending_sample, generate_pp_sample, generate_rotate_pair)
+    from hairfastgan_tpu.train.pp import pp_loss
+
+    zoo, cfg = tiny
+    face, shape, color = images
+
+    brow = generate_blending_sample(zoo, face, shape, color, cfg)
+    f_ch = cfg.stylegan.channels(32)
+    assert brow["align_f"].shape == (1, 32, 32, f_ch)
+    assert brow["color_s"].shape == (1, cfg.stylegan.n_latent, 512)
+    assert brow["face_i"].shape == (1, 256, 256, 3)
+    for k, v in brow.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    batch = (brow["color_s"], brow["align_s"], brow["align_f"],
+             brow["color_i"], brow["face_i"], brow["target_mask"],
+             brow["HM_3E"], brow["HM_XE"])
+    frozen_b = {"generator": zoo["generator"],
+                "clip": zoo["blending"]["clip"]}
+    loss, aux = blending_loss(zoo["blending"], frozen_b, batch, cfg)
+    assert np.isfinite(float(loss))
+
+    prow = generate_pp_sample(zoo, face, shape, color, cfg)
+    assert prow["target"].shape == (1, 256, 256, 3)
+    assert prow["source_full"].shape == face.shape
+    for k, v in prow.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    frozen_p = {"generator": zoo["generator"],
+                "bisenet16": bisenet.init_bisenet(KEY, n_classes=16),
+                "id_backbone": init_irse_backbone(KEY),
+                "lpips": init_lpips_alex(KEY)}
+    # rows are stored already normed ([-1,1]); scripts/train_pp.py feeds
+    # BATCH_KEYS verbatim into pp_loss
+    losses, _ = pp_loss(zoo["post_process"], frozen_p,
+                        (prow["source"], prow["target"],
+                         prow["target_mask"], prow["HT_E"]), cfg=cfg)
+    assert np.isfinite(float(losses))
+
+    rrow = generate_rotate_pair(zoo, face, shape, cfg)
+    assert rrow["W_from"].shape == (1, cfg.stylegan.n_latent, 512)
+    assert rrow["I_from"].shape == (1, 256, 256, 3)
+    for k, v in rrow.items():
+        assert np.isfinite(np.asarray(v)).all(), k
