@@ -185,16 +185,25 @@ def main():
     from hairfastgan_tpu.api import HairFast
 
     hf = HairFast(cfg, zoo=zoo)
-    rng = __import__("numpy").random.RandomState(0)
-    serve_laps = []
-    for i in range(6):
-        ims = [rng.rand(size, size, 3).astype("float32") for _ in range(3)]
-        t0 = time.perf_counter()
-        hf.swap(*ims, output="uint8")
-        serve_laps.append((time.perf_counter() - t0) * 1000.0)
-    serve_laps.sort()
-    # the compile lap is the largest; p50 of the remaining warm laps
-    serving_p50 = serve_laps[:-1][len(serve_laps[:-1]) // 2]
+    np_ = __import__("numpy")
+    rng = np_.random.RandomState(0)
+
+    def serve_p50(**kw):
+        laps = []
+        for i in range(6):
+            ims = [np_.clip(rng.rand(size, size, 3) * 255, 0, 255)
+                   .astype("uint8") for _ in range(3)]
+            t0 = time.perf_counter()
+            hf.swap(*ims, output="uint8", **kw)
+            laps.append((time.perf_counter() - t0) * 1000.0)
+        laps.sort()
+        # the compile lap is the largest; p50 of the remaining warm laps
+        return laps[:-1][len(laps[:-1]) // 2]
+
+    serving_p50 = serve_p50()
+    # upload_res=512: host-side first downsample, 4x less upload — the
+    # serving lever when the link (not the chip) is the bottleneck
+    serving_p50_512 = serve_p50(upload_res=512)
 
     print(json.dumps({
         "metric": "hairfast_swap_1024_p50_ms",
@@ -207,6 +216,7 @@ def main():
         **throughput,
         "stage_p50_ms": {k: round(v, 2) for k, v in stage.items()},
         "serving_p50_uint8_ms": round(serving_p50, 3),
+        "serving_p50_uint8_512up_ms": round(serving_p50_512, 3),
         "mfu_pct": mfu,
     }))
 

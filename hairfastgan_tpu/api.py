@@ -112,7 +112,7 @@ class HairFast:
         return self._jitted["u8"]
 
     def warmup(self, cases=("distinct",), batch_sizes=(1,),
-               output: str = "float32"):
+               output: str = "float32", upload_res: Optional[int] = None):
         """Compile the swap program(s) ahead of the first request.
 
         Serving cold-start: the fused 1024^2 program compiles in minutes
@@ -120,10 +120,12 @@ class HairFast:
         at process start instead of on the first user request. Warms the
         uint8-input programs `swap`/`swap_stream` dispatch (swap_batch's
         float-input programs compile separately); pass output="uint8" to
-        warm the quantized-output variant the CLI serves.
+        warm the quantized-output variant the CLI serves, and upload_res
+        to warm the reduced-upload program shape `swap(upload_res=...)`
+        dispatches.
         """
         key = jax.random.PRNGKey(self.cfg.seed)
-        size = self.cfg.stylegan.size
+        size = self._upload_res(upload_res)
         for b in batch_sizes:
             z = jnp.zeros((b, size, size, 3), jnp.uint8)
             for case in cases:
@@ -132,20 +134,37 @@ class HairFast:
                 probe.block_until_ready()
         return self
 
+    def _upload_res(self, upload_res: Optional[int]) -> int:
+        size = self.cfg.stylegan.size
+        return size if upload_res is None else min(upload_res, size)
+
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
              exp_name: Optional[str] = None,
-             poisson: bool = False, output: str = "float32") -> np.ndarray:
+             poisson: bool = False, output: str = "float32",
+             upload_res: Optional[int] = None) -> np.ndarray:
         """face/shape/color (path | PIL | ndarray | tensor-like) -> [1024,1024,3]
         float image in [0,1] (output="float32", reference-compatible) or
         uint8 in [0,255] (output="uint8", 4x less device->host transfer —
         the right choice when the result is saved to PNG anyway).
+
+        upload_res=512 ships inputs at 512^2 (1/4 the host->device bytes).
+        The pipeline never consumes the raw photo above its fixed working
+        spaces — BiSeNet parses at 512 and every encoder at 256 (reference
+        Embedding.py:56-118 downsamples exactly the same way) — so the only
+        change is WHERE the first 2x downsample runs: host LANCZOS + uint8
+        quantization instead of the on-device bicubic FIR. Output stays at
+        the full generator resolution. Serving through a bandwidth-limited
+        link is upload-bound, so this is the serving latency lever (see
+        bench.py's serving metrics); leave None for byte-exact parity with
+        the full-resolution coercion path.
 
         poisson=True additionally seamless-clones the original face photo
         back into the result outside the (dilated) hair region — the
         reference's optional `poisson_image_blending` post-process, solved
         on-device instead of via the fpie subprocess."""
         size = self.cfg.stylegan.size
+        up = self._upload_res(upload_res)
         if align:
             from hairfastgan_tpu.utils.face_align import align_faces
             from hairfastgan_tpu.utils.images import to_raw_image
@@ -159,11 +178,15 @@ class HairFast:
                                star_params=self.zoo.get("star"))
             imgs = [np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
                     for im in imgs]
+            face_full = imgs[0]  # aligned full-res face for poisson
+            if up != size:
+                imgs = [to_image_u8(im, up) for im in imgs]
         else:
             # ship uint8; the device normalizes (4x less host->device
             # traffic). Right-shaped uint8 input passes through copy-free.
-            imgs = [to_image_u8(im, size)
+            imgs = [to_image_u8(im, up)
                     for im in (face_img, shape_img, color_img)]
+            face_full = None  # coerced on demand below
         imgs = equal_replacer(imgs)
         case = swap_cases(*imgs)
 
@@ -181,7 +204,16 @@ class HairFast:
         out, probe = fn(self.zoo, face, shape, color, key)
         final, inter = out if debug else (out, None)
         if poisson:
-            final, probe = self._poisson_fn()(self.zoo, final, face)
+            # the composite clones ORIGINAL face pixels at the output
+            # resolution; under upload_res the swap inputs are smaller, so
+            # the full-res face ships separately for this one pass
+            if up != size:
+                pface = jnp.asarray(
+                    face_full if face_full is not None
+                    else to_image_u8(face_img, size))[None]
+            else:
+                pface = face
+            final, probe = self._poisson_fn()(self.zoo, final, pface)
         if benchmark:
             self.bench.lap(np.asarray(probe))
 
@@ -259,7 +291,8 @@ class HairFast:
 
 
     def swap_stream(self, triples, case: str = "distinct", depth: int = 3,
-                    output: str = "float32", batch: int = 1):
+                    output: str = "float32", batch: int = 1,
+                    upload_res: Optional[int] = None):
         """Serving path: iterate (index, final_image) over many triples,
         overlapping host decode (native C++ loader) with device compute.
 
@@ -280,12 +313,17 @@ class HairFast:
         is the wall there, not compute; the batching win appears on
         directly-attached TPUs where swap_batch(B=8) is ~50% faster than
         B=1.
+
+        `upload_res` (e.g. 512): the native C++ loader decodes + bicubic-
+        resizes straight to the reduced resolution, cutting the per-triple
+        upload 4x — the stream's measured wall on tunneled setups (see
+        `swap`'s upload_res note for the numerics contract).
         """
         from hairfastgan_tpu.data.native_loader import (
             NativeImageLoader, native_available)
         from hairfastgan_tpu.utils.images import to_image_u8
 
-        size = self.cfg.stylegan.size
+        size = self._upload_res(upload_res)
         fn = self._fn(case, u8=(output == "uint8"))
         key = jax.random.PRNGKey(self.cfg.seed)
 

@@ -51,7 +51,9 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
         # same programs as the single-swap path.
         from hairfastgan_tpu.utils.images import to_image_u8
 
-        load = lambda p: to_image_u8(p, hair_fast.cfg.stylegan.size)
+        up = min(args.upload_res or hair_fast.cfg.stylegan.size,
+                 hair_fast.cfg.stylegan.size)
+        load = lambda p: to_image_u8(p, up)
         if args.align:
             from hairfastgan_tpu.utils.face_align import align_faces
             from hairfastgan_tpu.utils.images import to_raw_image
@@ -65,8 +67,8 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
                         [to_raw_image(p)],
                         output_size=hair_fast.cfg.stylegan.size,
                         star_params=star_p)[0]
-                    aligned[p] = np.clip(a * 255.0 + 0.5, 0,
-                                         255).astype(np.uint8)
+                    a8 = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                    aligned[p] = to_image_u8(a8, up)
                 return aligned[p]
 
         # group triples by dedup case (path identity) so duplicates take
@@ -109,6 +111,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
         out = hair_fast.swap(face, shape, color, benchmark=args.benchmark,
                              align=args.align,
                              poisson=args.poisson, output="uint8",
+                             upload_res=args.upload_res,
                              exp_name="_".join(Path(p).stem for p in exp))
         name = "_".join(Path(p).stem for p in exp)
         save_image01(args.output_dir / f"{name}.png", out)
@@ -136,6 +139,11 @@ if __name__ == "__main__":
                         help="FFHQ-align in-the-wild photos first (STAR "
                              "on-device landmarks when star_wflw.pth is in "
                              "the zoo, else dlib)")
+    parser.add_argument("--upload_res", type=int, default=None,
+                        help="ship inputs at this resolution (e.g. 512): "
+                             "the pipeline's working spaces are <=512, so "
+                             "only the first downsample moves host-side; "
+                             "4x less upload on bandwidth-limited links")
     parser.add_argument("--poisson", action="store_true",
                         help="final on-device Poisson composite of the "
                              "original photo outside the hair region "

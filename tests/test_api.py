@@ -118,6 +118,29 @@ def test_swap_poisson_flag(hf):
     assert 0.0 <= out.min() and out.max() <= 1.0
 
 
+def test_swap_upload_res(hf):
+    """upload_res ships SMALLER inputs; output stays at generator size and
+    must equal the swap program run directly on the host-coerced low-res
+    uint8 inputs (the contract: upload_res only moves the first downsample
+    host-side — nothing else in the request changes)."""
+    import jax.numpy as jnp
+
+    from hairfastgan_tpu.utils.images import to_image_u8
+
+    rng = np.random.RandomState(11)
+    size = hf.cfg.stylegan.size
+    up = size // 2
+    face = rng.rand(size, size, 3).astype(np.float32)
+    out = hf.swap(face, face.copy(), face.copy(), upload_res=up)
+    assert out.shape == (size, size, 3)
+    assert np.isfinite(out).all()
+
+    low = to_image_u8(face, up)
+    key = jax.random.PRNGKey(hf.cfg.seed)
+    direct, _ = hf._fn("same")(hf.zoo, *(jnp.asarray(low)[None],) * 3, key)
+    np.testing.assert_allclose(out, np.asarray(direct[0]), atol=1e-5)
+
+
 def test_swap_uint8_chw_coercion(hf):
     rng = np.random.RandomState(2)
     size = hf.cfg.stylegan.size
