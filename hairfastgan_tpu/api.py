@@ -135,8 +135,19 @@ class HairFast:
         return self
 
     def _upload_res(self, upload_res: Optional[int]) -> int:
+        """Clamp the requested upload resolution to [floor, size].
+
+        On full-size configs the floor is 512: BiSeNet parses faces in a
+        FIXED 512^2 space (pipeline/embedding.to_res), so uploads below it
+        would be silently upsampled into the parser and degrade hair
+        masks. Sub-512 generator configs (tiny test zoos) keep the plain
+        [.., size] clamp.
+        """
         size = self.cfg.stylegan.size
-        return size if upload_res is None else min(upload_res, size)
+        if upload_res is None:
+            return size
+        floor = 512 if size > 512 else 1
+        return max(floor, min(upload_res, size))
 
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
@@ -148,16 +159,20 @@ class HairFast:
         uint8 in [0,255] (output="uint8", 4x less device->host transfer —
         the right choice when the result is saved to PNG anyway).
 
-        upload_res=512 ships inputs at 512^2 (1/4 the host->device bytes).
-        The pipeline never consumes the raw photo above its fixed working
-        spaces — BiSeNet parses at 512 and every encoder at 256 (reference
-        Embedding.py:56-118 downsamples exactly the same way) — so the only
-        change is WHERE the first 2x downsample runs: host LANCZOS + uint8
-        quantization instead of the on-device bicubic FIR. Output stays at
-        the full generator resolution. Serving through a bandwidth-limited
-        link is upload-bound, so this is the serving latency lever (see
-        bench.py's serving metrics); leave None for byte-exact parity with
-        the full-resolution coercion path.
+        upload_res=512 ships inputs at 512^2 (1/4 the host->device bytes;
+        values below 512 are clamped — BiSeNet's parser space is a fixed
+        512^2). The pipeline never consumes the raw photo above its fixed
+        working spaces — BiSeNet parses at 512 and every encoder at 256
+        (reference Embedding.py:56-118 downsamples exactly the same way) —
+        so the change is WHERE the first 2x downsample runs AND WHICH
+        filter performs it: host LANCZOS + uint8 re-quantization replaces
+        the on-device bicubic FIR (and the FSE path's first bilinear
+        halving); scripts/upload_res_agreement.py measures the numerics
+        cost of that substitution. Output stays at the full generator
+        resolution. Serving through a bandwidth-limited link is
+        upload-bound, so this is the serving latency lever (see bench.py's
+        serving metrics); leave None for byte-exact parity with the
+        full-resolution coercion path.
 
         poisson=True additionally seamless-clones the original face photo
         back into the result outside the (dilated) hair region — the
@@ -323,7 +338,7 @@ class HairFast:
             NativeImageLoader, native_available)
         from hairfastgan_tpu.utils.images import to_image_u8
 
-        size = self._upload_res(upload_res)
+        up = self._upload_res(upload_res)
         fn = self._fn(case, u8=(output == "uint8"))
         key = jax.random.PRNGKey(self.cfg.seed)
 
@@ -333,12 +348,12 @@ class HairFast:
         paths = [p for t in triples for p in t]
         if native_available():
             loader = NativeImageLoader([str(p) for p in paths],
-                                       out_size=size, threads=4,
+                                       out_size=up, threads=4,
                                        dtype=np.uint8)
             images: Dict[int, np.ndarray] = {}
             got = iter(loader)
         else:
-            images = {i: to_image_u8(p, size) for i, p in enumerate(paths)}
+            images = {i: to_image_u8(p, up) for i, p in enumerate(paths)}
             got = iter(())
 
         pending = []  # (triple idxs, device result) — async in flight

@@ -192,22 +192,35 @@ def init_star(key, classes=WFLW_CLASSES, edge_info=WFLW_EDGE_INFO,
     return p
 
 
-def _soft_argmax(heatmap: Array) -> Array:
-    """[B,H,W,K] -> [B,K,2] (x, y) in [-1,1] (decoder_default)."""
+def _soft_argmax(heatmap: Array, with_spread: bool = False):
+    """[B,H,W,K] -> [B,K,2] (x, y) in [-1,1] (decoder_default).
+
+    With `with_spread`, also returns the radial stddev [B,K] of the fused
+    heatmap around its soft-argmax, in [-1,1] units: a trained peak has
+    spread ~0.1, a diffuse/no-face response ~0.8 (uniform over the map) —
+    the confidence signal behind utils/face_align.AlignmentError.
+    """
     b, h, w, k = heatmap.shape
     yy = jnp.linspace(-1.0, 1.0, h, dtype=heatmap.dtype)[None, :, None, None]
     xx = jnp.linspace(-1.0, 1.0, w, dtype=heatmap.dtype)[None, None, :, None]
     s = jnp.clip(jnp.sum(heatmap, axis=(1, 2)), 1e-6)
     y = jnp.sum(heatmap * yy, axis=(1, 2)) / s
     x = jnp.sum(heatmap * xx, axis=(1, 2)) / s
-    return jnp.stack([x, y], axis=-1)
+    lm = jnp.stack([x, y], axis=-1)
+    if not with_spread:
+        return lm
+    y2 = jnp.sum(heatmap * yy * yy, axis=(1, 2)) / s
+    x2 = jnp.sum(heatmap * xx * xx, axis=(1, 2)) / s
+    var = jnp.maximum(x2 - x * x, 0.0) + jnp.maximum(y2 - y * y, 0.0)
+    return lm, jnp.sqrt(var)
 
 
-def star_landmarks(p, img: Array) -> Array:
+def star_landmarks(p, img: Array, with_spread: bool = False):
     """img [B,256,256,3] normalized (0.5/0.5) -> [B,98,2] coords in [-1,1].
 
     Returns the final stack's soft-argmax landmarks (rotate training uses
-    coords[:, :76], rotate_train.py:102-104).
+    coords[:, :76], rotate_train.py:102-104). With `with_spread`, returns
+    (landmarks [B,98,2], spread [B,98]) — see `_soft_argmax`.
     """
     x = coordconv(p["pre_conv"], img, stride=2, bn=True, act=True)
     x = resblock(p["pre_r1"], x)
@@ -232,7 +245,7 @@ def star_landmarks(p, img: Array) -> Array:
                           preferred_element_type=edges.dtype)
         mask = mask + p["e2h_b"].astype(edges.dtype)
         fusion = mask * points * heatmaps
-        landmarks = _soft_argmax(fusion)
+        landmarks = _soft_argmax(fusion, with_spread=with_spread)
 
         if i < len(p["stacks"]) - 1:
             x = (x + _convblock(st["merge_feat"], feat)

@@ -51,8 +51,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
         # same programs as the single-swap path.
         from hairfastgan_tpu.utils.images import to_image_u8
 
-        up = min(args.upload_res or hair_fast.cfg.stylegan.size,
-                 hair_fast.cfg.stylegan.size)
+        up = hair_fast._upload_res(args.upload_res)
         load = lambda p: to_image_u8(p, up)
         if args.align:
             from hairfastgan_tpu.utils.face_align import align_faces
@@ -143,7 +142,9 @@ if __name__ == "__main__":
                         help="ship inputs at this resolution (e.g. 512): "
                              "the pipeline's working spaces are <=512, so "
                              "only the first downsample moves host-side; "
-                             "4x less upload on bandwidth-limited links")
+                             "4x less upload on bandwidth-limited links. "
+                             "Floor is 512 (BiSeNet's fixed parser space); "
+                             "lower values are clamped")
     parser.add_argument("--poisson", action="store_true",
                         help="final on-device Poisson composite of the "
                              "original photo outside the hair region "
