@@ -114,11 +114,20 @@ def main():
         pass
 
     # ---- throughput at B=1/4/8 (batched triples, one dispatch) ----
+    # best-of-3 sessions with the min carried alongside: run-to-run tunnel
+    # variance spans 14-16.5 transfers/s at B=8, so a single sample cannot
+    # distinguish regression from noise (VERDICT r2 weak #5)
     throughput = {}
     for b in (1, 4, 8):
-        lapsb = [(zoo, *triple(100 + i, b)) for i in range(5)]
-        tb = _p50_ms(fn, lapsb, (zoo, *triple(99, b)))
-        throughput[f"throughput_b{b}"] = round(b / (tb / 1e3), 2)
+        p50s, mins = [], []
+        for rep in range(3):
+            lapsb = [(zoo, *triple(1000 * rep + 100 + i, b)) for i in range(5)]
+            tb = _lap_ms(fn, lapsb, (zoo, *triple(1000 * rep + 99, b)))
+            p50s.append(tb[len(tb) // 2])
+            mins.append(tb[0])
+        p50s.sort()
+        throughput[f"throughput_b{b}"] = round(b / (p50s[1] / 1e3), 2)
+        throughput[f"throughput_b{b}_max"] = round(b / (min(mins) / 1e3), 2)
 
     # ---- per-stage p50s (each its own program; includes tunnel RTT) ----
     from hairfastgan_tpu.models import bisenet, stylegan2
@@ -204,6 +213,49 @@ def main():
     # upload_res=512: host-side first downsample, 4x less upload — the
     # serving lever when the link (not the chip) is the bottleneck
     serving_p50_512 = serve_p50(upload_res=512)
+    # + output_res=512: the response-side twin — the final bicubic 2x
+    # downsample fuses into the swap program, so the uint8 response ships
+    # 4x fewer bytes on top of the upload cut
+    serving_p50_512io = serve_p50(upload_res=512, output_res=512)
+
+    # ---- serving-latency budget: which bytes cost what (VERDICT r2 #6) ----
+    # Decomposes the serving lap into host coercion, upload, device
+    # compute (incl. one tunnel RTT for the scalar probe), and download.
+    from hairfastgan_tpu.utils.images import to_image_u8
+
+    def serving_budget(up, ores):
+        fn_u8 = hf._fn("distinct", u8=True, out_res=ores)
+        key = jax.random.PRNGKey(0)
+        co, upl, dev, dwn, rtt = [], [], [], [], []
+        dev_scalar = jax.device_put(jnp.float32(0.0))
+        for i in range(5):
+            ims = [np_.clip(rng.rand(size, size, 3) * 255, 0, 255)
+                   .astype("uint8") for _ in range(3)]
+            t0 = time.perf_counter()
+            coerced = [to_image_u8(im, up) for im in ims]
+            t1 = time.perf_counter()
+            on_dev = [jax.device_put(jnp.asarray(im)[None]) for im in coerced]
+            float(jnp.sum(on_dev[0][:, 0, 0, 0]))  # force + sync transfer
+            t2 = time.perf_counter()
+            out, probe = fn_u8(hf.zoo, *on_dev, key)
+            float(probe)  # device compute + one RTT
+            t3 = time.perf_counter()
+            host = np_.asarray(out)
+            t4 = time.perf_counter()
+            float(dev_scalar + i)  # empty round-trip = pure tunnel RTT
+            t5 = time.perf_counter()
+            co.append(t1 - t0); upl.append(t2 - t1); dev.append(t3 - t2)
+            dwn.append(t4 - t3); rtt.append(t5 - t4)
+        med = lambda xs: round(sorted(xs)[len(xs) // 2] * 1e3, 2)
+        return {
+            "coerce_ms": med(co), "upload_ms": med(upl),
+            "upload_bytes": int(3 * up * up * 3),
+            "device_plus_rtt_ms": med(dev), "download_ms": med(dwn),
+            "download_bytes": int(host.nbytes), "rtt_ms": med(rtt),
+        }
+
+    budget_full = serving_budget(size, size)
+    budget_512io = serving_budget(512, 512)
 
     print(json.dumps({
         "metric": "hairfast_swap_1024_p50_ms",
@@ -217,6 +269,9 @@ def main():
         "stage_p50_ms": {k: round(v, 2) for k, v in stage.items()},
         "serving_p50_uint8_ms": round(serving_p50, 3),
         "serving_p50_uint8_512up_ms": round(serving_p50_512, 3),
+        "serving_p50_uint8_512io_ms": round(serving_p50_512io, 3),
+        "serving_budget_full": budget_full,
+        "serving_budget_512io": budget_512io,
         "mfu_pct": mfu,
     }))
 

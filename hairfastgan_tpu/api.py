@@ -62,11 +62,17 @@ class HairFast:
         self._jitted: Dict[str, callable] = {}
         self.bench = BenchSession("swap")
 
-    def _fn(self, case: str, debug: bool = False, u8: bool = False):
+    def _fn(self, case: str, debug: bool = False, u8: bool = False,
+            out_res: Optional[int] = None):
         """u8=True quantizes the final image INSIDE the program (uint8 out
         of the same dispatch: no second round-trip through the link, 4x
-        less device->host transfer)."""
-        key = (case, debug, u8)
+        less device->host transfer). out_res < generator size additionally
+        bicubic-downsamples the final image inside the same program (the
+        response-side serving lever: 512^2 uint8 ships 16x fewer bytes than
+        1024^2 f32)."""
+        size = self.cfg.stylegan.size
+        out_res = size if not out_res or out_res >= size else out_res
+        key = (case, debug, u8, out_res)
         if key not in self._jitted:
             cfg = self.cfg
 
@@ -79,6 +85,10 @@ class HairFast:
                                 return_intermediate=debug)
                 final = out[0] if debug else out
                 probe = jnp.sum(final[:, 0, 0, 0])  # scalar sync probe
+                if not debug and out_res and out_res != size:
+                    from hairfastgan_tpu.ops.resample import bicubic_downsample
+
+                    out = bicubic_downsample(out, size // out_res)
                 if u8 and not debug:
                     out = jnp.clip(out * 255.0 + 0.5, 0.0,
                                    255.0).astype(jnp.uint8)
@@ -87,19 +97,29 @@ class HairFast:
             self._jitted[key] = fn
         return self._jitted[key]
 
-    def _poisson_fn(self):
-        """Jitted final composite (reference utils/image_utils.py:58-94)."""
-        if "poisson" not in self._jitted:
+    def _poisson_fn(self, out_res: Optional[int] = None):
+        """Jitted final composite (reference utils/image_utils.py:58-94).
+        The optional output downsample runs AFTER the composite (the solve
+        needs full-resolution face pixels)."""
+        key = ("poisson", out_res)
+        if key not in self._jitted:
             from hairfastgan_tpu.pipeline.composite import poisson_composite
+
+            size = self.cfg.stylegan.size
 
             @jax.jit
             def pfn(zoo, final, face_u8):
                 face01 = face_u8.astype(jnp.float32) / 255.0
                 out = poisson_composite(zoo, final.astype(jnp.float32), face01)
-                return out, jnp.sum(out[:, 0, 0, 0])
+                probe = jnp.sum(out[:, 0, 0, 0])
+                if out_res and out_res != size:
+                    from hairfastgan_tpu.ops.resample import bicubic_downsample
 
-            self._jitted["poisson"] = pfn
-        return self._jitted["poisson"]
+                    out = bicubic_downsample(out, size // out_res)
+                return out, probe
+
+            self._jitted[key] = pfn
+        return self._jitted[key]
 
     def _u8_fn(self):
         """Jitted [0,1]-float -> uint8 quantizer; fetching uint8 moves 4x
@@ -112,7 +132,8 @@ class HairFast:
         return self._jitted["u8"]
 
     def warmup(self, cases=("distinct",), batch_sizes=(1,),
-               output: str = "float32", upload_res: Optional[int] = None):
+               output: str = "float32", upload_res: Optional[int] = None,
+               output_res: Optional[int] = None):
         """Compile the swap program(s) ahead of the first request.
 
         Serving cold-start: the fused 1024^2 program compiles in minutes
@@ -126,11 +147,12 @@ class HairFast:
         """
         key = jax.random.PRNGKey(self.cfg.seed)
         size = self._upload_res(upload_res)
+        ores = self._output_res(output_res)
         for b in batch_sizes:
             z = jnp.zeros((b, size, size, 3), jnp.uint8)
             for case in cases:
-                _, probe = self._fn(case, u8=(output == "uint8"))(
-                    self.zoo, z, z, z, key)
+                _, probe = self._fn(case, u8=(output == "uint8"),
+                                    out_res=ores)(self.zoo, z, z, z, key)
                 probe.block_until_ready()
         return self
 
@@ -149,11 +171,24 @@ class HairFast:
         floor = 512 if size > 512 else 1
         return max(floor, min(upload_res, size))
 
+    def _output_res(self, output_res: Optional[int]) -> int:
+        """Snap the requested response resolution to a power-of-two divisor
+        of the generator size (the fused output downsample is an integer-
+        factor bicubic FIR), rounding UP so callers never get less than
+        they asked for."""
+        size = self.cfg.stylegan.size
+        if output_res is None or output_res >= size:
+            return size
+        f = size // max(1, output_res)           # integer shrink factor
+        f = 1 << (f.bit_length() - 1)            # floor to power of two
+        return size // f
+
     def swap(self, face_img, shape_img, color_img, benchmark: bool = False,
              align: bool = False, seed: Optional[int] = None,
              exp_name: Optional[str] = None,
              poisson: bool = False, output: str = "float32",
-             upload_res: Optional[int] = None) -> np.ndarray:
+             upload_res: Optional[int] = None,
+             output_res: Optional[int] = None) -> np.ndarray:
         """face/shape/color (path | PIL | ndarray | tensor-like) -> [1024,1024,3]
         float image in [0,1] (output="float32", reference-compatible) or
         uint8 in [0,255] (output="uint8", 4x less device->host transfer —
@@ -173,6 +208,14 @@ class HairFast:
         upload-bound, so this is the serving latency lever (see bench.py's
         serving metrics); leave None for byte-exact parity with the
         full-resolution coercion path.
+
+        output_res=512 serves a 512^2 response: the final bicubic 2x
+        downsample is fused INTO the swap program, so a 512^2-uint8
+        response ships 16x fewer bytes than the 1024^2-f32 default — the
+        response-side twin of upload_res for bandwidth-limited links
+        (requests snap up to a power-of-two divisor of the generator
+        size). The pipeline itself always computes at full resolution;
+        only the response shrinks. Ignored under save_all debug dumps.
 
         poisson=True additionally seamless-clones the original face photo
         back into the result outside the (dilated) hair region — the
@@ -212,7 +255,11 @@ class HairFast:
         # float post-pass (poisson/debug) needs the float image — the whole
         # request is then ONE dispatch and a 4x-smaller down-transfer
         u8_fused = output == "uint8" and not debug and not poisson
-        fn = self._fn(case, debug=debug, u8=u8_fused)
+        ores = self._output_res(output_res)
+        # poisson composites at full resolution; its wrapper applies the
+        # output downsample after the solve
+        fn = self._fn(case, debug=debug, u8=u8_fused,
+                      out_res=size if poisson else ores)
 
         if benchmark:
             self.bench.start()
@@ -228,7 +275,7 @@ class HairFast:
                     else to_image_u8(face_img, size))[None]
             else:
                 pface = face
-            final, probe = self._poisson_fn()(self.zoo, final, pface)
+            final, probe = self._poisson_fn(out_res=ores)(self.zoo, final, pface)
         if benchmark:
             self.bench.lap(np.asarray(probe))
 
@@ -307,7 +354,8 @@ class HairFast:
 
     def swap_stream(self, triples, case: str = "distinct", depth: int = 3,
                     output: str = "float32", batch: int = 1,
-                    upload_res: Optional[int] = None):
+                    upload_res: Optional[int] = None,
+                    output_res: Optional[int] = None):
         """Serving path: iterate (index, final_image) over many triples,
         overlapping host decode (native C++ loader) with device compute.
 
@@ -339,7 +387,8 @@ class HairFast:
         from hairfastgan_tpu.utils.images import to_image_u8
 
         up = self._upload_res(upload_res)
-        fn = self._fn(case, u8=(output == "uint8"))
+        fn = self._fn(case, u8=(output == "uint8"),
+                      out_res=self._output_res(output_res))
         key = jax.random.PRNGKey(self.cfg.seed)
 
         # uint8 end-to-end: the loader prefetches raw u8 pixels and the

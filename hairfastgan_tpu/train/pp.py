@@ -131,6 +131,139 @@ def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:
     return loss, {"disc_adv": loss}
 
 
+def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
+                             cfg: HairFastConfig = HairFastConfig(),
+                             lr: float = 1e-4, use_adv: bool = False,
+                             remat: bool = False):
+    """Segmented enc_step: the SAME update as `make_pp_train_steps`' fused
+    step, computed as 3-4 smaller jitted programs plus a tiny apply program.
+
+    Why: serving links that proxy XLA compilation cap the request body
+    (the axon tunnel rejects the fused enc_step's unoptimized-HLO upload
+    with HTTP 413 even at tiny config). The loss is a SUM of independent
+    terms, so grad(total) = Σ grad(term-group); each group re-runs the
+    shared forward (encoder + generator renders — extra FLOPs, ~2x) but
+    ships a fraction of the HLO. Gradients match the fused step to float
+    accumulation order (equality-tested in tests/test_losses_train.py).
+
+    Segments: [dice | id+feat_rec | lpips(+inpaint) | adv?] + apply.
+    Returns (step, tx) with the fused step's exact call/aux contract.
+    """
+    import optax
+
+    tx = adam_with_clip(lr)
+
+    def _renders(params, source, target, alpha, need_w: bool):
+        s, f = encoders.post_process_model(params, source, target)
+        f_w, _ = stylegan2.synthesis(frozen["generator"], s, start_layer=0,
+                                     end_layer=4, cfg=cfg.stylegan)
+        f_in = alpha * f + (1.0 - alpha) * jax.lax.stop_gradient(f_w)
+        _, gen_f = stylegan2.synthesis(frozen["generator"], s, start_layer=5,
+                                       end_layer=8, layer_in=f_in,
+                                       cfg=cfg.stylegan)
+        gen_w = None
+        if need_w:
+            _, gen_w = stylegan2.synthesis(frozen["generator"], s,
+                                           cfg=cfg.stylegan)
+        return s, f, f_w, gen_w, gen_f
+
+    def seg_dice(params, source, target, target_mask, ht_e, alpha):
+        _, _, _, _, gen_f = _renders(params, source, target, alpha, False)
+        tgt512 = jnp.clip(resize((target + 1) / 2, (512, 512), "bilinear"), 0, 1)
+        seg_t = jax.lax.stop_gradient(
+            resize(_seg16_logits(frozen, tgt512), (256, 256), "nearest"))
+        seg_g = resize(_seg16_logits(frozen, (gen_f + 1) / 2),
+                       (256, 256), "nearest")
+        v = weights["landmark"] * dice_loss(seg_g, seg_t)
+        return v, {"dice": v, "gen_f": jax.lax.stop_gradient(gen_f)}
+
+    def seg_id_feat(params, source, target, target_mask, ht_e, alpha):
+        _, f, f_w, gen_w, gen_f = _renders(params, source, target, alpha, True)
+        gen_w_256 = to_res(gen_w, 256)
+        gen_f_256 = to_res(gen_f, 256)
+        v_id = weights["id"] * (
+            id_loss(frozen["id_backbone"], gen_w_256 * target_mask,
+                    source * target_mask)
+            + id_loss(frozen["id_backbone"], gen_f_256 * target_mask,
+                      source * target_mask))
+        v_fr = weights["feat_rec"] * feat_recon_loss(
+            jax.lax.stop_gradient(f_w), f)
+        return v_id + v_fr, {
+            "id": v_id, "feat_rec": v_fr,
+            "gen_w_256": jax.lax.stop_gradient(gen_w_256),
+            "gen_f_256": jax.lax.stop_gradient(gen_f_256)}
+
+    def seg_lpips(params, source, target, target_mask, ht_e, alpha):
+        _, _, _, gen_w, gen_f = _renders(params, source, target, alpha, True)
+        gen_w_256 = to_res(gen_w, 256)
+        gen_f_256 = to_res(gen_f, 256)
+        lp = frozen["lpips"]
+        out = {}
+        out["lpips_face"] = 0.5 * weights["lpips_scale"] * (
+            lpips_scale(lp, source * target_mask, gen_w_256 * target_mask)
+            + lpips_scale(lp, source * target_mask, gen_f_256 * target_mask))
+        out["lpips_hair"] = 0.5 * weights["lpips_scale"] * (
+            lpips_scale(lp, target * ht_e, gen_w_256 * ht_e)
+            + lpips_scale(lp, target * ht_e, gen_f_256 * ht_e))
+        if weights.get("inpaint", 0.0):
+            m_inp = (1 - target_mask) * (1 - ht_e)
+            smooth = dilated_mask(m_inp, 25)
+            out["inpaint"] = 0.5 * weights["inpaint"] * (
+                lpips_scale(lp, target * smooth, gen_f_256 * smooth)
+                + lpips_scale(lp,
+                              jax.lax.stop_gradient(gen_w_256) * smooth * (1 - ht_e),
+                              gen_f_256 * smooth * (1 - ht_e)))
+        return sum(out.values()), out
+
+    def seg_adv(params, source, target, target_mask, ht_e, alpha, disc_params):
+        _, _, _, _, gen_f = _renders(params, source, target, alpha, False)
+        v = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
+        return v, {"adv": v}
+
+    def _maybe_remat(f):
+        return jax.checkpoint(f) if remat else f
+
+    g_dice = jax.jit(jax.value_and_grad(_maybe_remat(seg_dice), has_aux=True))
+    g_idft = jax.jit(jax.value_and_grad(_maybe_remat(seg_id_feat), has_aux=True))
+    g_lpip = jax.jit(jax.value_and_grad(_maybe_remat(seg_lpips), has_aux=True))
+    g_adv = jax.jit(jax.value_and_grad(_maybe_remat(seg_adv), has_aux=True))
+
+    @jax.jit
+    def _apply(params, opt_state, *grads):
+        g = jax.tree.map(lambda *xs: sum(xs), *grads)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(g)
+
+    def step(params, opt_state, *batch_and_disc):
+        if use_adv:
+            *batch, disc_params, alpha = batch_and_disc
+        else:
+            *batch, alpha = batch_and_disc
+            disc_params = None
+        source, target, target_mask, ht_e = batch
+        args = (source, target, target_mask, ht_e, alpha)
+        (v1, a1), gr1 = g_dice(params, *args)
+        (v2, a2), gr2 = g_idft(params, *args)
+        (v3, a3), gr3 = g_lpip(params, *args)
+        grads = [gr1, gr2, gr3]
+        loss = v1 + v2 + v3
+        aux = {**a1, **a2, **a3}
+        if disc_params is not None:
+            (v4, a4), gr4 = g_adv(params, *args, disc_params)
+            grads.append(gr4)
+            loss = loss + v4
+            aux.update(a4)
+        params, opt_state, gnorm = _apply(params, opt_state, *grads)
+        return params, opt_state, dict(aux, loss=loss, grad_norm=gnorm)
+
+    # expose the per-segment jitted programs (tools/pp_compile_probe.py
+    # measures each one's unoptimized-HLO upload size and TPU compile)
+    step.segments = {"seg_dice": g_dice, "seg_id_feat": g_idft,
+                     "seg_lpips": g_lpip, "seg_adv": g_adv, "apply": _apply}
+    return step, tx
+
+
 def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                         cfg: HairFastConfig = HairFastConfig(),
                         lr: float = 1e-4, use_adv: bool = False,

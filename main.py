@@ -111,6 +111,7 @@ def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
                              align=args.align,
                              poisson=args.poisson, output="uint8",
                              upload_res=args.upload_res,
+                             output_res=args.output_res,
                              exp_name="_".join(Path(p).stem for p in exp))
         name = "_".join(Path(p).stem for p in exp)
         save_image01(args.output_dir / f"{name}.png", out)
@@ -145,6 +146,11 @@ if __name__ == "__main__":
                              "4x less upload on bandwidth-limited links. "
                              "Floor is 512 (BiSeNet's fixed parser space); "
                              "lower values are clamped")
+    parser.add_argument("--output_res", type=int, default=None,
+                        help="serve the result at this resolution (e.g. "
+                             "512): the final bicubic downsample fuses into "
+                             "the swap program, cutting the response bytes "
+                             "(snaps to a power-of-two divisor of size)")
     parser.add_argument("--poisson", action="store_true",
                         help="final on-device Poisson composite of the "
                              "original photo outside the hair region "

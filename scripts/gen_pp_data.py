@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_dir", type=Path, required=True)
     ap.add_argument("--file_path", type=Path, default=None)
@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--out_dir", type=Path, required=True)
     ap.add_argument("--zoo_dir", type=Path, default=Path("pretrained_models_jax"))
     ap.add_argument("--seed", type=int, default=3407)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.train.datagen import generate_pp_sample

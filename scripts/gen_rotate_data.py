@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_dir", type=Path, required=True)
     ap.add_argument("--n_pairs", type=int, default=10_000)
@@ -45,7 +45,7 @@ def main():
                          "trainer must then also run with --no_keypoints")
     ap.add_argument("--tiny", action="store_true",
                     help="128-res random-weight config (CI smoke runs)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.train.datagen import generate_rotate_pair

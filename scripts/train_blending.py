@@ -36,7 +36,7 @@ def batches(rows, batch_size, seed=0, shuffle=True):
                     for k in BATCH_KEYS)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", type=Path, required=True)
     ap.add_argument("--ckpt_dir", type=Path, default=Path("checkpoints/blending"))
@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--grid_dir", type=Path, default=None,
                     help="dump validation render grids here")
     ap.add_argument("--log", type=Path, default=Path("blending_train.jsonl"))
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.params.checkpoint import save_train_state
@@ -69,7 +69,12 @@ def main():
     frozen = {"generator": zoo["generator"], "clip": zoo["blending"]["clip"]}
     params = {"mods": zoo["blending"]["mods"]}
 
-    plan = make_mesh()
+    # cap the data mesh at the batch size: a global batch smaller than
+    # the device count (tiny CI runs, small final batches) must not be
+    # forced onto the full mesh (shard_batch needs divisibility)
+    import math
+
+    plan = make_mesh(n_data=math.gcd(args.batch_size, len(jax.devices())))
     frozen = replicate(plan, frozen)
     params = replicate(plan, params)
 

@@ -33,7 +33,7 @@ def batches(rows, batch_size, seed=0, shuffle=True, keys=BATCH_KEYS):
                     for k in keys)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", type=Path, required=True)
     ap.add_argument("--ckpt_dir", type=Path, default=Path("checkpoints/pp"))
@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--use_adv", action="store_true")
+    ap.add_argument("--split_compile", action="store_true",
+                    help="compile the encoder step as 3-4 smaller programs "
+                         "(grad of a sum = sum of grads) whose unoptimized-"
+                         "HLO uploads fit body-capped compile proxies like "
+                         "the axon tunnel (HTTP 413 on the fused step); "
+                         "~2x forward FLOPs, identical update")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the loss forward on backward "
                          "(jax.checkpoint): trades ~1 extra forward of "
@@ -72,7 +78,7 @@ def main():
     ap.add_argument("--log", type=Path, default=Path("pp_train.jsonl"))
     ap.add_argument("--tiny", action="store_true",
                     help="128-res random-weight config (CI smoke runs)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.losses.identity import init_irse_backbone
@@ -105,13 +111,26 @@ def main():
     }
     params = zoo["post_process"]
 
-    plan = make_mesh()
+    # cap the data mesh at the batch size: a global batch smaller than
+    # the device count (tiny CI runs, small final batches) must not be
+    # forced onto the full mesh (shard_batch needs divisibility)
+    import math
+
+    plan = make_mesh(n_data=math.gcd(args.batch_size, len(jax.devices())))
     frozen = replicate(plan, frozen)
     params = replicate(plan, params)
 
     enc_step, disc_step, r1_step, tx, d_tx = make_pp_train_steps(
         frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv,
         remat=args.remat)
+    if args.split_compile:
+        # same update, 3-4 smaller programs: for links that cap the
+        # unoptimized-HLO upload (axon remote_compile HTTP 413)
+        from hairfastgan_tpu.train.pp import make_pp_split_train_step
+
+        enc_step, tx = make_pp_split_train_step(
+            frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv,
+            remat=args.remat)
     opt_state = replicate(plan, tx.init(params))
 
     disc_params = d_opt = None

@@ -40,7 +40,7 @@ POSE_KEYS = ("I_from", "kp_to", "W_from", "W_to")
 HAIR_KEYS = ("W_from", "W_to")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pose_dir", type=Path, required=True)
     ap.add_argument("--hair_dir", type=Path, required=True)
@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--log", type=Path, default=Path("rotate_train.jsonl"))
     ap.add_argument("--tiny", action="store_true",
                     help="128-res random-weight config (CI smoke runs)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.losses.identity import init_irse_backbone
@@ -109,7 +109,12 @@ def main():
             "loss. Either place star_wflw.pth in --zoo_dir, or pass "
             "--no_keypoints to train on the identity+latent losses only.")
 
-    plan = make_mesh()
+    # cap the data mesh at the batch size: a global batch smaller than
+    # the device count (tiny CI runs, small final batches) must not be
+    # forced onto the full mesh (shard_batch needs divisibility)
+    import math
+
+    plan = make_mesh(n_data=math.gcd(args.batch_size, len(jax.devices())))
     frozen = replicate(plan, frozen)
     params = replicate(plan, params)
     pose_step, hair_step, tx = make_rotate_train_steps(frozen, keypoint_fn,

@@ -17,6 +17,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache for the whole suite (repo-local, gitignored):
+# the big CPU compiles (pipeline programs, training steps) dominate suite
+# wall time; on this host they are identical run-to-run, so the second
+# `make test` loads them from disk. Subprocess CLI tests inherit via the
+# env var (consumed at jax import in the child).
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".jax_test_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+# the CPU AOT cache loader logs a multi-KB spurious "machine feature" error
+# per warm cache hit; suppress (consumed at backend init)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass  # older jax without the persistent cache: cold compiles only
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -53,6 +53,29 @@ def test_swap_uint8_output(hf):
     assert np.abs(u8.astype(np.int16) - expect.astype(np.int16)).max() <= 1
 
 
+def test_swap_output_res(hf):
+    """output_res fuses the final bicubic downsample into the swap program:
+    the half-res response must equal bicubic_downsample(full-res response)
+    (the response-side serving lever; see bench.py serving metrics)."""
+    import jax.numpy as jnp
+
+    from hairfastgan_tpu.ops.resample import bicubic_downsample
+
+    rng = np.random.RandomState(11)
+    size = hf.cfg.stylegan.size
+    face = rng.rand(size, size, 3).astype(np.float32)
+    full = hf.swap(face, face.copy(), face.copy())
+    half = hf.swap(face, face.copy(), face.copy(), output_res=size // 2)
+    assert half.shape == (size // 2, size // 2, 3)
+    expect = np.asarray(bicubic_downsample(jnp.asarray(full)[None], 2)[0])
+    np.testing.assert_allclose(half, expect, atol=1e-5)
+    # odd requests snap UP to the nearest power-of-two divisor
+    assert hf._output_res(size // 2 + 1) == size
+    assert hf._output_res(size // 2 - 1) == size // 2
+    assert hf._output_res(None) == size
+    assert hf._output_res(size * 4) == size
+
+
 def test_swap_align_star_path(hf):
     """align=True with STAR weights in the zoo: detector-free on-device
     landmarks -> FFHQ quad crop of the RAW (unresized) photo -> swap.
@@ -169,25 +192,15 @@ def test_swap_batch_sharded(hf):
                                atol=1e-5)
 
 
-@pytest.mark.skipif("HAIRFAST_SLOW_TESTS" not in __import__("os").environ,
-                    reason="13-min compile; run with HAIRFAST_SLOW_TESTS=1")
-def test_swap_batch_sharded_distinct(hf):
-    # the general-path equivalent (also covered by the driver dryrun)
-    rng = np.random.RandomState(3)
-    size = hf.cfg.stylegan.size
-    B = 8
-    faces = rng.rand(B, size, size, 3).astype(np.float32)
-    shapes = rng.rand(B, size, size, 3).astype(np.float32)
-    colors = rng.rand(B, size, size, 3).astype(np.float32)
-    out = hf.swap_batch(faces, shapes, colors)
-    assert out.shape == (B, size, size, 3)
-    assert np.isfinite(out).all()
+# the general 'distinct'-case sharded proof is ALWAYS-ON in
+# tests/test_mesh_equivalence.py::test_swap_batch_sharded_distinct_vs_golden
+# (golden-replay + shared dryrun compile cache keep it affordable)
 
 
 def test_warmup_compiles_case(hf):
     """warmup() populates the jit cache for the uint8 serving programs."""
     hf.warmup(cases=("same",))
-    assert ("same", False, False) in hf._jitted
+    assert ("same", False, False, hf.cfg.stylegan.size) in hf._jitted
     # warmed program serves a real uint8 request without recompiling
     rng = np.random.RandomState(6)
     size = hf.cfg.stylegan.size

@@ -407,21 +407,19 @@ def test_convert_lpips_alex_runs():
     assert float(lpips(p, x, x)) == pytest.approx(0.0, abs=1e-6)
 
 
-def test_convert_inception_runs():
-    from hairfastgan_tpu.models.inception import (
-        _BRANCH_MAP, _TV_MAP, convert_inception, inception_features)
-
-    # build a synthetic torchvision state dict from our own init shapes
-    from hairfastgan_tpu.models.inception import init_inception
+def synth_inception_state_dict():
+    """Synthetic torchvision inception_v3 state dict built from our own init
+    shapes (shared with the fid_metric CLI plumbing test)."""
+    from hairfastgan_tpu.models.inception import _BRANCH_MAP, _TV_MAP, init_inception
 
     shapes = jax.eval_shape(lambda: init_inception(jax.random.PRNGKey(0)))
     d = {}
 
     def emit(tv_name, cbn_shapes):
         w = cbn_shapes["conv"]["w"].shape  # HWIO
-        add_conv(d, f"{tv_name}.conv", w[2], w[3], (w[0], w[1])[0]) \
-            if w[0] == w[1] else None
-        if w[0] != w[1]:
+        if w[0] == w[1]:
+            add_conv(d, f"{tv_name}.conv", w[2], w[3], w[0])
+        else:
             d[f"{tv_name}.conv.weight"] = rng.randn(
                 w[3], w[2], w[0], w[1]).astype(np.float32) * 0.05
         add_bn(d, f"{tv_name}.bn", w[3])
@@ -434,7 +432,13 @@ def test_convert_inception_runs():
                 "c" if ours.startswith("c") else "d" if ours == "d" else "e")
         for k, v in _BRANCH_MAP[kind].items():
             emit(f"{tv}.{v}", shapes[ours][k])
+    return d
 
+
+def test_convert_inception_runs():
+    from hairfastgan_tpu.models.inception import convert_inception, inception_features
+
+    d = synth_inception_state_dict()
     p = jax.tree.map(jnp.asarray, convert_inception(d))
     f = inception_features(p, jnp.zeros((1, 96, 96, 3)))
     assert f.shape == (1, 2048)

@@ -106,6 +106,54 @@ def test_blending_train_step_tiny():
     assert np.isfinite(float(aux["face_loss"]))
 
 
+def test_pp_split_step_matches_fused():
+    """--split_compile's segmented enc_step (grad of a sum = sum of grads,
+    3 programs + apply) must produce the SAME update as the fused step —
+    it exists so PP training can compile through body-capped compile
+    proxies (axon HTTP 413 on the fused unoptimized-HLO upload)."""
+    from hairfastgan_tpu.losses.identity import init_irse_backbone
+    from hairfastgan_tpu.models import bisenet
+    from hairfastgan_tpu.train.pp import (
+        make_pp_split_train_step, make_pp_train_steps)
+    from hairfastgan_tpu.zoo import init_tiny_zoo
+
+    zoo, cfg = init_tiny_zoo(KEY)
+    frozen = {"generator": zoo["generator"],
+              "bisenet16": bisenet.init_bisenet(KEY, n_classes=16),
+              "id_backbone": init_irse_backbone(KEY),
+              "lpips": init_lpips_alex(KEY)}
+    params = zoo["post_process"]
+
+    rng = np.random.RandomState(0)
+    b = 1
+    batch = (jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
+             jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
+             jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32),
+             jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32))
+    alpha = jnp.float32(0.7)
+
+    fused, _, _, tx, _ = make_pp_train_steps(frozen, cfg=cfg, lr=1e-3)
+    split, stx = make_pp_split_train_step(frozen, cfg=cfg, lr=1e-3)
+    opt0 = tx.init(params)
+
+    pf, of, auxf = fused(params, opt0, *batch, alpha)
+    ps, os_, auxs = split(params, stx.init(params), *batch, alpha)
+
+    assert float(auxs["loss"]) == pytest.approx(float(auxf["loss"]), rel=1e-5)
+    for k in ("dice", "id", "feat_rec", "lpips_face", "lpips_hair", "inpaint"):
+        assert float(auxs[k]) == pytest.approx(float(auxf[k]), rel=1e-4), k
+    assert float(auxs["grad_norm"]) == pytest.approx(
+        float(auxf["grad_norm"]), rel=1e-4)
+    # updated params agree to float accumulation order (Adam's eps floor
+    # amplifies near-zero-grad ULP noise; compare at a fraction of lr)
+    for a, b_ in zip(jax.tree.leaves(pf), jax.tree.leaves(ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=0)
+    # aux carries the renders the disc step / grids consume
+    assert auxs["gen_f"].shape == auxf["gen_f"].shape
+    assert auxs["gen_f_256"].shape == (b, 256, 256, 3)
+
+
 def test_discriminator_shapes():
     from hairfastgan_tpu.config import StyleGANConfig
     from hairfastgan_tpu.models.stylegan2_discriminator import (
@@ -201,6 +249,59 @@ def test_fid_stats_cache_roundtrip(tmp_path):
     mu2, cov2 = real_stats(d, feat, cache=cache, size=32)
     np.testing.assert_allclose(mu2, mu1)
     np.testing.assert_allclose(cov2, cov1)
+
+
+def test_fid_metric_cli_both_columns(tmp_path, monkeypatch):
+    """One fid_metric invocation with --inception_ckpt emits BOTH the classic
+    FID and the FID-CLIP columns (reference scripts/fid_metric.py:62-72).
+    The Inception leg runs the REAL converted net from a synthetic
+    torchvision state_dict; the CLIP leg and the 2 GB zoo init are stubbed
+    (their real paths are covered by test_reference_parity / test_api)."""
+    import torch
+    from PIL import Image
+
+    import hairfastgan_tpu.eval.fid as fid_mod
+    import hairfastgan_tpu.zoo as zoo_mod
+    from scripts.fid_metric import main
+    from tests.test_convert_plumbing import synth_inception_state_dict
+
+    ckpt = tmp_path / "inception_v3.pth"
+    torch.save(synth_inception_state_dict(), str(ckpt))
+
+    rng = np.random.RandomState(0)
+    dirs = {}
+    for name in ("real", "method_a"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 255, (96, 96, 3), np.uint8)).save(
+                str(d / f"{i}.png"))
+        dirs[name] = d
+
+    monkeypatch.setattr(zoo_mod, "init_zoo",
+                        lambda key, cfg: {"blending": {"clip": None}})
+    monkeypatch.setattr(
+        fid_mod, "clip_feature_fn",
+        lambda params: lambda x: np.asarray(x).reshape(len(x), -1)[:, :8]
+        .astype(np.float64))
+
+    out_csv = tmp_path / "metric.csv"
+    main(["--real_dir", str(dirs["real"]),
+          "--method_dirs", str(dirs["method_a"]),
+          "--zoo_dir", str(tmp_path / "no_zoo"),
+          "--inception_ckpt", str(ckpt),
+          "--fid_cache", str(tmp_path / "fid_cache.npz"),
+          "--size", "96", "--batch", "4",
+          "--out_csv", str(out_csv)])
+
+    header, row = out_csv.read_text().strip().splitlines()
+    assert header == "method,fid,fid_clip"
+    name, fid_v, clip_v = row.split(",")
+    assert name == "method_a"
+    assert np.isfinite(float(fid_v)) and np.isfinite(float(clip_v))
+    # per-feature-net real-stats caches, not one shared file
+    assert (tmp_path / "fid_cache_fid.npz").exists()
+    assert (tmp_path / "fid_cache_fid_clip.npz").exists()
 
 
 def test_nan_guard():
