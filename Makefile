@@ -11,9 +11,13 @@ test-slow:
 bench:
 	python bench.py
 
+# exactly the driver's shape: direct call, hard 600 s budget (the round-2
+# failure mode was a dryrun that passed open-ended but not under timeout)
 dryrun:
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-	python __graft_entry__.py
+	timeout 600 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+dryrun-regen-golden:
+	python __graft_entry__.py --regen-golden
 
 native: native/libhf_loader.so
 

@@ -80,11 +80,13 @@ def basic_block(p, x: Array) -> Array:
     return relu(short + r)
 
 
-def init_resnet18(key):
+def init_resnet18(key, width: float = 1.0):
+    c = lambda n: max(16, int(n * width))
     keys = iter(jax.random.split(key, 16))
     layers = {}
-    layers["conv1"] = init_conv_bn(next(keys), 7, 3, 64)
-    chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+    layers["conv1"] = init_conv_bn(next(keys), 7, 3, c(64))
+    chans = [(c(64), c(64), 1), (c(64), c(128), 2), (c(128), c(256), 2),
+             (c(256), c(512), 2)]
     for i, (cin, cout, s) in enumerate(chans, start=1):
         layers[f"layer{i}"] = [
             init_basic_block(next(keys), cin, cout, s),
@@ -157,19 +159,23 @@ def head(p, x: Array) -> Array:
     return conv2d_p(p["out"], y)
 
 
-def init_bisenet(key, n_classes: int = 19):
+def init_bisenet(key, n_classes: int = 19, width: float = 1.0):
+    """width < 1 scales every INTERNAL channel count (micro test zoos);
+    the external contract (512-space input, n_classes logits) is fixed."""
+    c = lambda n: max(16, int(n * width))
     keys = jax.random.split(key, 9)
     return {
-        "resnet": init_resnet18(keys[0]),
-        "arm16": init_arm(keys[1], 256, 128),
-        "arm32": init_arm(keys[2], 512, 128),
-        "conv_head32": init_conv_bn(keys[3], 3, 128, 128),
-        "conv_head16": init_conv_bn(keys[4], 3, 128, 128),
-        "conv_avg": init_conv_bn(keys[5], 1, 512, 128),
-        "ffm": init_ffm(keys[6], 256, 256),
-        "head": init_head(keys[7], 256, 256, n_classes),
-        "head16": init_head(keys[8], 128, 64, n_classes),
-        "head32": init_head(jax.random.split(keys[8])[0], 128, 64, n_classes),
+        "resnet": init_resnet18(keys[0], width),
+        "arm16": init_arm(keys[1], c(256), c(128)),
+        "arm32": init_arm(keys[2], c(512), c(128)),
+        "conv_head32": init_conv_bn(keys[3], 3, c(128), c(128)),
+        "conv_head16": init_conv_bn(keys[4], 3, c(128), c(128)),
+        "conv_avg": init_conv_bn(keys[5], 1, c(512), c(128)),
+        "ffm": init_ffm(keys[6], c(128) * 2, c(256)),
+        "head": init_head(keys[7], c(256), c(256), n_classes),
+        "head16": init_head(keys[8], c(128), c(64), n_classes),
+        "head32": init_head(jax.random.split(keys[8])[0], c(128), c(64),
+                            n_classes),
         "n_classes": Static(n_classes),
     }
 

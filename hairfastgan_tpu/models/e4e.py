@@ -48,11 +48,12 @@ Array = jax.Array
 
 # (in_channel, depth, stride) per bottleneck, 50-layer config
 # (helpers.py:30-37): 4 stages of [first stride-2, rest stride-1] units.
-def _blocks_50() -> List[Tuple[int, int, int]]:
+def _blocks_50(width: float = 1.0) -> List[Tuple[int, int, int]]:
+    c = lambda n: max(16, int(n * width))
     spec = []
     for in_c, depth, n in ((64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)):
-        spec.append((in_c, depth, 2))
-        spec += [(depth, depth, 1)] * (n - 1)
+        spec.append((c(in_c), c(depth), 2))
+        spec += [(c(depth), c(depth), 1)] * (n - 1)
     return spec
 
 
@@ -93,14 +94,15 @@ def bottleneck_ir(p, x: Array) -> Array:
     return res + short
 
 
-def init_irse_body(key, se: bool = True):
-    spec = _blocks_50()
+def init_irse_body(key, se: bool = True, width: float = 1.0):
+    c = lambda n: max(16, int(n * width))
+    spec = _blocks_50(width)
     keys = jax.random.split(key, len(spec) + 1)
     return {
         "input": {
-            "conv": init_conv(keys[0], 3, 3, 64, bias=False),
-            "bn": init_bn(64),
-            "prelu": init_prelu(64),
+            "conv": init_conv(keys[0], 3, 3, c(64), bias=False),
+            "bn": init_bn(c(64)),
+            "prelu": init_prelu(c(64)),
         },
         "body": [init_bottleneck_ir(k, i, d, s, se)
                  for k, (i, d, s) in zip(keys[1:], spec)],
@@ -131,13 +133,15 @@ def irse_pyramid(p, x: Array) -> Tuple[Array, Array, Array]:
 # GradualStyleBlock & Encoder4Editing
 # ---------------------------------------------------------------------------
 
-def init_gradual_style_block(key, in_c: int, out_c: int, spatial: int):
+def init_gradual_style_block(key, in_c: int, out_c: int, spatial: int,
+                             mid: int = None):
+    mid = out_c if mid is None else mid
     n = int(math.log2(spatial))
     keys = jax.random.split(key, n + 1)
     return {
-        "convs": [init_conv(keys[0], 3, in_c, out_c)] +
-                 [init_conv(keys[i], 3, out_c, out_c) for i in range(1, n)],
-        "linear": {"w": jax.random.normal(keys[n], (out_c, out_c)) ,
+        "convs": [init_conv(keys[0], 3, in_c, mid)] +
+                 [init_conv(keys[i], 3, mid, mid) for i in range(1, n)],
+        "linear": {"w": jax.random.normal(keys[n], (mid, out_c)) ,
                    "b": jnp.zeros((out_c,), jnp.float32)},
     }
 
@@ -275,17 +279,21 @@ def _all_style_latents(p, c1: Array, c2: Array, c3: Array) -> Array:
     return jnp.stack(latents, axis=1)
 
 
-def init_e4e(key, n_styles: int = 18, se: bool = True):
+def init_e4e(key, n_styles: int = 18, se: bool = True, width: float = 1.0):
+    """width < 1 scales the trunk/FPN/head-mid channels (micro test zoos);
+    the W+ output stays [B, n_styles, 512] (latent ABI)."""
+    c = lambda n: max(16, int(n * width))
     keys = jax.random.split(key, n_styles + 4)
     styles = []
     for i in range(n_styles):
         spatial = 16 if i < 3 else (32 if i < 7 else 64)
-        styles.append(init_gradual_style_block(keys[i], 512, 512, spatial))
+        styles.append(init_gradual_style_block(keys[i], c(512), 512, spatial,
+                                               mid=c(512)))
     return {
-        "backbone": init_irse_body(keys[n_styles], se=se),
+        "backbone": init_irse_body(keys[n_styles], se=se, width=width),
         "styles": styles,
-        "latlayer1": init_conv(keys[n_styles + 1], 1, 256, 512),
-        "latlayer2": init_conv(keys[n_styles + 2], 1, 128, 512),
+        "latlayer1": init_conv(keys[n_styles + 1], 1, c(256), c(512)),
+        "latlayer2": init_conv(keys[n_styles + 2], 1, c(128), c(512)),
         "latent_avg": jnp.zeros((n_styles, 512), jnp.float32),
     }
 

@@ -84,18 +84,20 @@ def ibasic_block(p, x: Array, stride: int) -> Array:
     return out + identity
 
 
-def init_trunk(key, depth: int = 50):
-    """conv1+bn1+prelu and the four stages (all strides 2, iresnet style)."""
+def init_trunk(key, depth: int = 50, width: float = 1.0):
+    """conv1+bn1+prelu and the four stages (all strides 2, iresnet style).
+    width < 1 scales every stage's channel count (micro test zoos)."""
+    c = lambda n: max(16, int(n * width))
     layers = IRESNET_LAYERS[depth]
     keys = iter(jax.random.split(key, 4 + sum(layers)))
     p = {
-        "conv1": init_conv(next(keys), 3, 3, 64, bias=False),
-        "bn1": init_bn(64),
-        "prelu": init_prelu(64),
+        "conv1": init_conv(next(keys), 3, 3, c(64), bias=False),
+        "bn1": init_bn(c(64)),
+        "prelu": init_prelu(c(64)),
         "stages": [],
     }
-    inplanes = 64
-    for planes, n in zip(STAGE_PLANES, layers):
+    inplanes = c(64)
+    for planes, n in zip([c(q) for q in STAGE_PLANES], layers):
         blocks = [init_ibasic_block(next(keys), inplanes, planes, 2)]
         inplanes = planes
         for _ in range(n - 1):
@@ -159,15 +161,15 @@ def arcface_embed(p, x: Array) -> Array:
 # FS-style encoders (FSE inverter & PostProcess encoder share this)
 # ---------------------------------------------------------------------------
 
-def _init_content_layer(key, cin: int, kernel, stride):
+def _init_content_layer(key, cin: int, kernel, stride, out_ch: int = 512):
     k1, k2 = jax.random.split(key)
     return {
         "bn0": init_bn(cin),
-        "conv1": init_conv(k1, 3, cin, 512, bias=False),
-        "bn1": init_bn(512),
-        "prelu": init_prelu(512),
-        "conv2": init_conv(k2, kernel, 512, 512, bias=False),
-        "bn2": init_bn(512),
+        "conv1": init_conv(k1, 3, cin, out_ch, bias=False),
+        "bn1": init_bn(out_ch),
+        "prelu": init_prelu(out_ch),
+        "conv2": init_conv(k2, kernel, out_ch, out_ch, bias=False),
+        "bn2": init_bn(out_ch),
         "stride": Static(stride),
     }
 
@@ -185,22 +187,29 @@ def init_fs_encoder(
     n_styles: int = 18,
     fs_layers: Sequence[int] = (5,),
     depth: int = 50,
+    width: float = 1.0,
+    content_ch: int = 512,
 ):
     """fs_encoder_v2 / FeatureEncoderMult parameter tree.
 
     fs_layers follow the reference convention: <=7 taps block_3 output
     (256 ch), >7 taps block_2 output (128 ch) with kernel table shifted by 2
-    (reference Net.py:396-420).
+    (reference Net.py:396-420). width < 1 scales the TRUNK channels and
+    content_ch sets the content-map width (micro test zoos; the real
+    architecture is width=1.0, content_ch=512 — the structural F width).
     """
+    c = lambda n: max(16, int(n * width))
     keys = jax.random.split(key, 3 + n_styles + len(fs_layers))
     shift = 0 if max(fs_layers) <= 7 else 2
-    cin = 256 if max(fs_layers) <= 7 else 128
+    cin = c(256) if max(fs_layers) <= 7 else c(128)
+    style_in = sum(c(q) for q in STAGE_PLANES) * 9
     p = {
-        "trunk": init_trunk(keys[0], depth),
-        "styles": [init_linear(keys[2 + i], 960 * 9, 512) for i in range(n_styles)],
+        "trunk": init_trunk(keys[0], depth, width),
+        "styles": [init_linear(keys[2 + i], style_in, 512) for i in range(n_styles)],
         "content": [
             _init_content_layer(keys[2 + n_styles + i], cin,
-                                FS_KERNELS[l - shift], FS_STRIDES[l - shift])
+                                FS_KERNELS[l - shift], FS_STRIDES[l - shift],
+                                out_ch=content_ch)
             for i, l in enumerate(fs_layers)
         ],
         "fs_layers": Static(tuple(fs_layers)),

@@ -235,10 +235,10 @@ def spade_block(p, x, seg_onehot, style_codes, keys=None) -> Array:
     return xs + dx
 
 
-def init_sean_generator(key, ngf: int = 64):
+def init_sean_generator(key, ngf: int = 64, z_ngf: int = 32):
     keys = jax.random.split(key, 10)
     return {
-        "zencoder": init_zencoder(keys[0]),
+        "zencoder": init_zencoder(keys[0], ngf=z_ngf),
         "fc": init_conv(keys[1], 3, N_REGIONS, 16 * ngf),
         "head0": init_spade_block(keys[2], 16 * ngf, 16 * ngf),
         "mid0": init_spade_block(keys[3], 16 * ngf, 16 * ngf),

@@ -79,8 +79,9 @@ def _enc_channels(hidden: int = 32):
     return [min(2048, hidden * 2 ** i) for i in range(LAYER_NUM)]
 
 
-def init_mask_encoder(key, in_ch: int, out_dim: int, vae: bool = False):
-    chans = _enc_channels()
+def init_mask_encoder(key, in_ch: int, out_dim: int, vae: bool = False,
+                      hidden: int = 32):
+    chans = _enc_channels(hidden)
     keys = jax.random.split(key, LAYER_NUM + 2)
     layers = []
     cin = in_ch + 4 * POS_ORDER
@@ -111,14 +112,14 @@ def mask_encode(p, mask: Array) -> Array:
     return linear(p["out"], x)
 
 
-def init_mask_decoder(key, in_dim: int, out_ch: int):
-    in_channel = min(32 * 2 ** LAYER_NUM, 2048)
+def init_mask_decoder(key, in_dim: int, out_ch: int, hidden: int = 32):
+    in_channel = min(hidden * 2 ** LAYER_NUM, 2048)
     in_size = INPUT_SIZE // 2 ** LAYER_NUM
     keys = jax.random.split(key, LAYER_NUM + 2)
     layers = []
     cin = in_channel
     for i in range(LAYER_NUM):
-        cout = min(32 * 2 ** (LAYER_NUM - 1 - i), 2048)
+        cout = min(hidden * 2 ** (LAYER_NUM - 1 - i), 2048)
         layers.append({
             "conv": init_conv(keys[i], 3, cin, cout),
             "ln": {"gamma": jax.random.uniform(keys[i], (cout,)),
@@ -146,13 +147,15 @@ def mask_decode(p, code: Array) -> Array:
     return conv2d_p(p["out"], x, padding=1)
 
 
-def init_shape_adaptor(key):
+def init_shape_adaptor(key, hidden: int = 32):
+    """hidden < 32 scales the conv widths (micro test zoos); the code dims
+    (hair 16 / face 1024) and 256^2 mask space are the CtrlHair ABI."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "hair_encoder": init_mask_encoder(k1, 1, HAIR_DIM, vae=True),
-        "face_encoder": init_mask_encoder(k2, N_CLASSES - 1, FACE_DIM),
-        "hair_decoder": init_mask_decoder(k3, FACE_DIM + HAIR_DIM, 1),
-        "face_decoder": init_mask_decoder(k4, FACE_DIM, N_CLASSES - 1),
+        "hair_encoder": init_mask_encoder(k1, 1, HAIR_DIM, vae=True, hidden=hidden),
+        "face_encoder": init_mask_encoder(k2, N_CLASSES - 1, FACE_DIM, hidden=hidden),
+        "hair_decoder": init_mask_decoder(k3, FACE_DIM + HAIR_DIM, 1, hidden=hidden),
+        "face_decoder": init_mask_decoder(k4, FACE_DIM, N_CLASSES - 1, hidden=hidden),
     }
 
 

@@ -72,7 +72,9 @@ def make_blending_train_step(frozen: Dict, cfg: HairFastConfig = HairFastConfig(
     """Jitted DP train step; batch args sharded over the mesh data axis."""
     tx = adam_with_clip(lr)
 
-    def loss_fn(params, *batch):
-        return blending_loss(params, frozen, batch, cfg)
+    def loss_fn(params, frozen_arg, *batch):
+        return blending_loss(params, frozen_arg, batch, cfg)
 
-    return make_train_step(loss_fn, tx), tx
+    # frozen rides as a call-time argument, not a closure (closure arrays
+    # embed as HLO literals — see make_train_step)
+    return make_train_step(loss_fn, tx, frozen=frozen), tx

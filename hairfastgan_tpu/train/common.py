@@ -39,11 +39,20 @@ def make_train_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
     remat: bool = False,
+    frozen: Any = None,
 ):
     """loss_fn(params, *batch) -> (scalar, aux) => jitted update step.
 
     Under a mesh with batch args sharded over `data`, the mean loss makes
     XLA emit the gradient all-reduce over ICI automatically.
+
+    frozen: optional pytree of non-trained weights, delivered to loss_fn as
+    its SECOND positional argument at CALL time (loss_fn(params, frozen,
+    *batch)). Do NOT close loss_fn over weight arrays: jit embeds closure
+    arrays as LITERALS in the lowered HLO — the tiny-config PP step lowers
+    to a 445 MB unoptimized proto that body-capped compile proxies reject
+    (axon remote_compile HTTP 413; measured by tools/pp_compile_probe.py).
+    As arguments the weights lower to parameters (KBs of HLO).
 
     remat=True rematerializes the loss computation on the backward pass
     (jax.checkpoint): ~1 extra forward of FLOPs buys back the activation
@@ -54,14 +63,24 @@ def make_train_step(
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
-    def step(params, opt_state, *batch):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, *batch)
+    def step(params, opt_state, frozen_arg, *batch):
+        fargs = ((frozen_arg,) if frozen is not None else ()) + batch
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, *fargs)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         aux = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
         return params, opt_state, aux
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def call(params, opt_state, *batch):
+        return jitted(params, opt_state, frozen, *batch)
+
+    # expose the inner jit + bound frozen for AOT tooling
+    # (tools/pp_compile_probe.py lowers the real program explicitly)
+    call.jitted = jitted
+    call.frozen = frozen
+    return call
 
 
 class MovingAverageLoss:

@@ -153,7 +153,7 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 
     tx = adam_with_clip(lr)
 
-    def _renders(params, source, target, alpha, need_w: bool):
+    def _renders(params, frozen, source, target, alpha, need_w: bool):
         s, f = encoders.post_process_model(params, source, target)
         f_w, _ = stylegan2.synthesis(frozen["generator"], s, start_layer=0,
                                      end_layer=4, cfg=cfg.stylegan)
@@ -167,8 +167,8 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
                                            cfg=cfg.stylegan)
         return s, f, f_w, gen_w, gen_f
 
-    def seg_dice(params, source, target, target_mask, ht_e, alpha):
-        _, _, _, _, gen_f = _renders(params, source, target, alpha, False)
+    def seg_dice(params, frozen, source, target, target_mask, ht_e, alpha):
+        _, _, _, _, gen_f = _renders(params, frozen, source, target, alpha, False)
         tgt512 = jnp.clip(resize((target + 1) / 2, (512, 512), "bilinear"), 0, 1)
         seg_t = jax.lax.stop_gradient(
             resize(_seg16_logits(frozen, tgt512), (256, 256), "nearest"))
@@ -177,8 +177,9 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
         v = weights["landmark"] * dice_loss(seg_g, seg_t)
         return v, {"dice": v, "gen_f": jax.lax.stop_gradient(gen_f)}
 
-    def seg_id_feat(params, source, target, target_mask, ht_e, alpha):
-        _, f, f_w, gen_w, gen_f = _renders(params, source, target, alpha, True)
+    def seg_id_feat(params, frozen, source, target, target_mask, ht_e, alpha):
+        _, f, f_w, gen_w, gen_f = _renders(params, frozen, source, target,
+                                           alpha, True)
         gen_w_256 = to_res(gen_w, 256)
         gen_f_256 = to_res(gen_f, 256)
         v_id = weights["id"] * (
@@ -193,8 +194,9 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
             "gen_w_256": jax.lax.stop_gradient(gen_w_256),
             "gen_f_256": jax.lax.stop_gradient(gen_f_256)}
 
-    def seg_lpips(params, source, target, target_mask, ht_e, alpha):
-        _, _, _, gen_w, gen_f = _renders(params, source, target, alpha, True)
+    def seg_lpips(params, frozen, source, target, target_mask, ht_e, alpha):
+        _, _, _, gen_w, gen_f = _renders(params, frozen, source, target,
+                                         alpha, True)
         gen_w_256 = to_res(gen_w, 256)
         gen_f_256 = to_res(gen_f, 256)
         lp = frozen["lpips"]
@@ -215,8 +217,10 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
                               gen_f_256 * smooth * (1 - ht_e)))
         return sum(out.values()), out
 
-    def seg_adv(params, source, target, target_mask, ht_e, alpha, disc_params):
-        _, _, _, _, gen_f = _renders(params, source, target, alpha, False)
+    def seg_adv(params, frozen, source, target, target_mask, ht_e, alpha,
+                disc_params):
+        _, _, _, _, gen_f = _renders(params, frozen, source, target, alpha,
+                                     False)
         v = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
         return v, {"adv": v}
 
@@ -242,7 +246,9 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
             *batch, alpha = batch_and_disc
             disc_params = None
         source, target, target_mask, ht_e = batch
-        args = (source, target, target_mask, ht_e, alpha)
+        # frozen rides as a call-time argument (closure arrays embed as HLO
+        # literals — see make_train_step; the 413 root cause)
+        args = (frozen, source, target, target_mask, ht_e, alpha)
         (v1, a1), gr1 = g_dice(params, *args)
         (v2, a2), gr2 = g_idft(params, *args)
         (v3, a3), gr3 = g_lpip(params, *args)
@@ -270,19 +276,23 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                         remat: bool = False):
     tx = adam_with_clip(lr)
 
-    def loss_fn(params, *batch_and_disc):
+    def loss_fn(params, frozen_arg, *batch_and_disc):
         if use_adv:
             *batch, disc_params, alpha = batch_and_disc
         else:
             *batch, alpha = batch_and_disc
             disc_params = None
-        losses, aux = pp_loss(params, frozen, tuple(batch), weights, alpha,
-                              disc_params, cfg)
+        losses, aux = pp_loss(params, frozen_arg, tuple(batch), weights,
+                              alpha, disc_params, cfg)
         return losses, aux
 
     # remat: the encoder loss renders the frozen generator 3x (W path,
-    # F path, full) — rematerializing those renders is most of the win
-    enc_step = make_train_step(loss_fn, tx, donate=False, remat=remat)
+    # F path, full) — rematerializing those renders is most of the win.
+    # frozen is a call-time argument: closed-over weights embed as HLO
+    # literals (445 MB unoptimized proto at tiny config — the axon
+    # remote_compile HTTP 413 root cause; tools/pp_compile_probe.py)
+    enc_step = make_train_step(loss_fn, tx, donate=False, remat=remat,
+                               frozen=frozen)
 
     disc_step = d_tx = None
     if use_adv:

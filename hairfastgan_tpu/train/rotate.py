@@ -47,7 +47,7 @@ def rotate_pose_loss(
     params,
     frozen: Dict,
     batch: Tuple[Array, ...],
-    keypoint_fn: Callable[[Array], Array],
+    keypoint_fn: Callable[[Dict, Array], Array],
     cfg: HairFastConfig = HairFastConfig(),
     mults=None,
 ) -> Tuple[Array, Dict[str, Array]]:
@@ -63,7 +63,7 @@ def rotate_pose_loss(
     _, i_g = stylegan2.synthesis(frozen["generator"], latent_in, cfg=cfg.stylegan)
     i_gen = jnp.clip(to_res((i_g + 1.0) / 2.0, 256), 0, 1)
 
-    kp_gen = keypoint_fn(i_gen)
+    kp_gen = keypoint_fn(frozen, i_gen)  # any STAR params come from frozen
     kp_loss = jnp.mean(jnp.square(kp_gen - kp_to))
     id_loss = _arcface_cosine(frozen, i_gen, i_from)
     total = (kp_loss + id_loss if mults is None
@@ -93,11 +93,16 @@ def rotate_render(params, frozen: Dict, w_from: Array, w_to: Array,
 def make_rotate_train_steps(frozen: Dict, keypoint_fn,
                             cfg: HairFastConfig = HairFastConfig(), lr: float = 1e-4):
     """(pose_step, hair_step, tx); each step takes the MAL multiplier array
-    as its final batch argument (traced — no recompile per step)."""
+    as its final batch argument (traced — no recompile per step).
+
+    `frozen` (incl. any STAR params keypoint_fn reads via its `frozen`
+    first argument) rides as a call-time jit argument, never a closure —
+    closure arrays embed as HLO literals (see make_train_step)."""
     tx = adam_with_clip(lr)
     pose = make_train_step(
-        lambda p, i, kp, wf, wt, m: rotate_pose_loss(
-            p, frozen, (i, kp, wf, wt), keypoint_fn, cfg, mults=m), tx)
+        lambda p, fr, i, kp, wf, wt, m: rotate_pose_loss(
+            p, fr, (i, kp, wf, wt), keypoint_fn, cfg, mults=m), tx,
+        frozen=frozen)
     hair = make_train_step(
         lambda p, wf, wt, m: rotate_hair_loss(p, (wf, wt), mults=m), tx)
     return pose, hair, tx

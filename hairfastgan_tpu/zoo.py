@@ -92,17 +92,65 @@ def init_tiny_zoo(key, size: int = 128, max_channels: int = 512):
     return zoo, cfg
 
 
-def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict:
-    """Shape-correct random zoo via eval_shape + numpy (seconds, not minutes).
+def init_micro_zoo(key, size: int = 128, max_channels: int = 128,
+                   width: float = 0.25):
+    """Thinner-than-tiny zoo for multi-device EXECUTION checks.
 
-    `init_zoo` threads jax.random keys per leaf — correct for training
-    inits but slow for a ~2 GB tree on one host core. Benchmarks only need
-    the right shapes/dtypes and sane magnitudes; this generates every leaf
-    with numpy in one pass.
+    `init_tiny_zoo` keeps the real structural widths (512-ch FS interface)
+    so single-sample CPU tests exercise the true architecture — but
+    executing the composed pipeline once per shard on the 1-core CI host is
+    then ~10 min of pure compute (the dryrun/mesh-test wall; compile is
+    ~10 s with the warm cache). This zoo keeps every model family and the
+    full composition, but scales the generator's max_channels and every
+    internal trunk width down; the claims it backs (sharded == single
+    device) are about PLACEMENT and program structure, not channel counts.
+    The FS interface stays structurally consistent: the FSE content map
+    matches channels(16) and PP's F_final matches channels(64) of THIS
+    generator config.
     """
+    from hairfastgan_tpu.config import StyleGANConfig
+
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=size,
+                                                 max_channels=max_channels))
+    n_latent = cfg.stylegan.n_latent
+    c16 = cfg.stylegan.channels(16)
+    c64 = cfg.stylegan.channels(64)
+    keys = jax.random.split(key, 10)
+    clip_params = clip_vit.init_clip_image_tower(keys[7], width=64, layers=2,
+                                                 heads=2, embed_dim=512)
+    pp = {
+        "encoder_face": iresnet.init_fs_encoder(keys[9], n_styles=n_latent,
+                                                fs_layers=(9,), depth=18,
+                                                width=width, content_ch=c64),
+        "latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "to_feature": iresnet.init_feature_iresnet(
+            keys[9], blocks=((c64, 1), (c64, 1)), inplanes=2 * c64),
+        "to_latent_1": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[9], 5)],
+        "to_latent_2": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[8], 5)],
+    }
+    zoo = {
+        "generator": stylegan2.init_generator_params(keys[0], cfg.stylegan),
+        "e4e": e4e.init_e4e(keys[1], n_styles=n_latent, se=False, width=width),
+        "fse": iresnet.init_fs_encoder(keys[2], n_styles=n_latent,
+                                       fs_layers=(5,), depth=18,
+                                       width=width, content_ch=c16),
+        "fse_latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "bisenet": bisenet.init_bisenet(keys[3], n_classes=19, width=width),
+        "sean": sean.init_sean_generator(keys[4], ngf=8, z_ngf=8),
+        "shape_adaptor": sa.init_shape_adaptor(keys[5], hidden=8),
+        "rotate": encoders.init_rotate_model(keys[6]),
+        "blending": encoders.init_blending_model(keys[8], clip_params=clip_params),
+        "post_process": pp,
+    }
+    return zoo, cfg
+
+
+def _fill_random(shapes, seed: int):
+    """numpy-filled pytree matching `shapes` (deterministic in `seed`)."""
     import numpy as np
 
-    shapes = jax.eval_shape(lambda: init_zoo(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(seed)
 
     def make(path, leaf):
@@ -119,6 +167,35 @@ def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict
         return np.zeros(leaf.shape, leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(make, shapes)
+
+
+def init_zoo_fast(seed: int = 0, cfg: HairFastConfig = HairFastConfig()) -> Dict:
+    """Shape-correct random zoo via eval_shape + numpy (seconds, not minutes).
+
+    `init_zoo` threads jax.random keys per leaf — correct for training
+    inits but slow for a ~2 GB tree on one host core. Benchmarks only need
+    the right shapes/dtypes and sane magnitudes; this generates every leaf
+    with numpy in one pass. NOTE: flat random weights collapse BiSeNet
+    argmax diversity — use a scaled real-init zoo for accuracy
+    measurements (scripts/fastpath_agreement.py).
+    """
+    shapes = jax.eval_shape(lambda: init_zoo(jax.random.PRNGKey(0), cfg))
+    return _fill_random(shapes, seed)
+
+
+def init_micro_zoo_fast(seed: int = 0, size: int = 128,
+                        max_channels: int = 128, width: float = 0.25):
+    """`init_micro_zoo` shapes, numpy-filled (seconds — the jax.random init
+    costs ~2 min of tiny dispatches on a 1-core host, which was most of the
+    warm dryrun's remaining budget)."""
+    from hairfastgan_tpu.config import StyleGANConfig
+
+    shapes = jax.eval_shape(
+        lambda: init_micro_zoo(jax.random.PRNGKey(0), size, max_channels,
+                               width)[0])
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=size,
+                                                 max_channels=max_channels))
+    return _fill_random(shapes, seed), cfg
 
 
 def pack_zoo(zoo: Dict) -> Dict:

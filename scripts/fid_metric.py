@@ -67,6 +67,9 @@ def load_inception_feature_fn(ckpt: Path):
     sd = torch.load(ckpt, map_location="cpu", weights_only=True)
     if not isinstance(sd, dict) or "Conv2d_1a_3x3.conv.weight" not in sd:
         sd = sd.get("state_dict", sd)
+    # converters take numpy (convert.py layout rules use np transpose args)
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
     params = jax.device_put(jax.tree.map(np.asarray, convert_inception(sd)))
     return inception_feature_fn(params)
 

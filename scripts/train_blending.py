@@ -85,7 +85,8 @@ def main(argv=None):
     n_test = max(1, int(len(rows) * args.test_frac))
     test_rows, train_rows = rows[:n_test], rows[n_test:]
 
-    val_loss = jax.jit(lambda p, *b: blending_loss(p, frozen, b, cfg)[0])
+    # frozen as jit ARGUMENT (closure arrays embed as HLO literals)
+    val_loss = jax.jit(lambda p, fr, *b: blending_loss(p, fr, b, cfg)[0])
     logger = MetricLogger(str(args.log))
     best = float("inf")
 
@@ -94,14 +95,14 @@ def main(argv=None):
     from hairfastgan_tpu.pipeline.embedding import to_res
 
     @jax.jit
-    def render_val(params, color_s, align_s, align_f, color_i, face_i,
+    def render_val(params, fr, color_s, align_s, align_f, color_i, face_i,
                    target_mask, hm3e, hmxe):
-        pp = dict(params, clip=frozen["clip"])
+        pp = dict(params, clip=fr["clip"])
         blend = encoders.blending_model(pp, align_s[:, 6:], color_s[:, 6:],
                                         face_i * target_mask, color_i * hm3e)
         latent = jnp.concatenate(
             [jnp.zeros((blend.shape[0], 6, 512), blend.dtype), blend], axis=1)
-        _, img = stylegan2.synthesis(frozen["generator"], latent,
+        _, img = stylegan2.synthesis(fr["generator"], latent,
                                      start_layer=4, end_layer=8,
                                      layer_in=align_f, cfg=cfg.stylegan)
         return jnp.clip((to_res(img, 256) + 1) / 2, 0, 1)
@@ -124,13 +125,13 @@ def main(argv=None):
                            hair=aux["hair_loss"], grad=aux["grad_norm"])
                 check_finite_loss(aux["loss"], logger.step)
 
-            vls = [float(val_loss(params, *shard_batch(plan, b)))
+            vls = [float(val_loss(params, frozen, *shard_batch(plan, b)))
                    for b in batches(test_rows, args.batch_size, shuffle=False)]
             v = float(np.mean(vls)) if vls else float("nan")
 
             extra = ""
             if feat_fn is not None or args.grid_dir is not None:
-                renders = [np.asarray(render_val(params, *b))
+                renders = [np.asarray(render_val(params, frozen, *b))
                            for b in batches(test_rows, args.batch_size,
                                             shuffle=False)]
                 if renders:

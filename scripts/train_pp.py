@@ -177,7 +177,8 @@ def main(argv=None):
     # validation loss (no adversarial term, alpha=1 — pp_train.py:196-210)
     from hairfastgan_tpu.train.pp import pp_loss
 
-    val_fn = jax.jit(lambda p, *b: pp_loss(p, frozen, b, alpha=1.0, cfg=cfg))
+    # frozen as jit ARGUMENT (closure arrays embed as HLO literals)
+    val_fn = jax.jit(lambda p, fr, *b: pp_loss(p, fr, b, alpha=1.0, cfg=cfg))
 
     fid_real = None
     feat_fn = None
@@ -244,7 +245,7 @@ def main(argv=None):
             v_totals, v_terms, gen_f_all, grid_rows = [], {}, [], []
             for b in batches(val_rows, args.batch_size, shuffle=False):
                 b = shard_batch(plan, b)
-                total, aux = val_fn(params, *b)
+                total, aux = val_fn(params, frozen, *b)
                 v_totals.append(float(total))
                 for k, v in aux.items():
                     if jnp.ndim(v) == 0:

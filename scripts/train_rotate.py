@@ -95,13 +95,15 @@ def main(argv=None):
         from hairfastgan_tpu.models import star
         from hairfastgan_tpu.params.convert import load_torch_state_dict
 
-        star_p = jax.device_put(
+        # STAR params travel inside `frozen` (a jit argument), not a
+        # closure — closure arrays embed as HLO literals (train/common.py)
+        frozen["star"] = jax.device_put(
             star.convert_star(load_torch_state_dict(str(star_ckpt), key="net")))
-        keypoint_fn = lambda img: star.keypoints_256(star_p, img)
+        keypoint_fn = lambda fr, img: star.keypoints_256(fr["star"], img)
     elif args.no_keypoints:
         print("WARNING: --no_keypoints — pose batches train on the ArcFace "
               "identity loss only (keypoint MSE is a constant)")
-        keypoint_fn = lambda img: jnp.zeros((img.shape[0], 76, 2), img.dtype)
+        keypoint_fn = lambda fr, img: jnp.zeros((img.shape[0], 76, 2), img.dtype)
     else:
         raise SystemExit(
             f"STAR checkpoint not found: {star_ckpt}\n"
@@ -122,10 +124,11 @@ def main(argv=None):
     opt_state = replicate(plan, tx.init(params))
 
     # validation = raw sums (reference validate() normalize=False)
-    val_pose = jax.jit(lambda p, *b: rotate_pose_loss(
-        p, frozen, b, keypoint_fn, cfg)[1])
+    # validation fns take frozen as an ARGUMENT too (same HLO-literal rule)
+    val_pose = jax.jit(lambda p, fr, *b: rotate_pose_loss(
+        p, fr, b, keypoint_fn, cfg)[1])
     val_hair = jax.jit(lambda p, *b: rotate_hair_loss(p, b)[0])
-    render = jax.jit(lambda p, wf, wt: rotate_render(p, frozen, wf, wt, cfg))
+    render = jax.jit(lambda p, fr, wf, wt: rotate_render(p, fr, wf, wt, cfg))
 
     pose_rows = sorted(args.pose_dir.glob("*.npz"))
     hair_rows = sorted(args.hair_dir.glob("*.npz"))
@@ -164,7 +167,7 @@ def main(argv=None):
             vals = []
             for b in batches(val_pose_rows, POSE_KEYS, args.batch_size,
                              shuffle=False):
-                info = val_pose(params, *shard_batch(plan, b))
+                info = val_pose(params, frozen, *shard_batch(plan, b))
                 vals.append({k: float(v) for k, v in info.items()})
             for b in batches(val_hair_rows, HAIR_KEYS, args.batch_size,
                              shuffle=False):
@@ -186,7 +189,7 @@ def main(argv=None):
                 rows_imgs = []
                 for b in batches(val_pose_rows, POSE_KEYS, args.batch_size,
                                  shuffle=False):
-                    gen = np.asarray(render(params, b[2], b[3]))
+                    gen = np.asarray(render(params, frozen, b[2], b[3]))
                     rows_imgs.append(np.concatenate(
                         [np.asarray(b[0]), gen], axis=2))  # [B,256,512,3]
                     if sum(r.shape[0] for r in rows_imgs) >= 100:

@@ -76,10 +76,13 @@ def test_swap_output_res(hf):
     assert hf._output_res(size * 4) == size
 
 
-def test_swap_align_star_path(hf):
+def test_swap_align_star_path(hf, monkeypatch):
     """align=True with STAR weights in the zoo: detector-free on-device
     landmarks -> FFHQ quad crop of the RAW (unresized) photo -> swap.
-    No dlib import anywhere on this path."""
+    No dlib import anywhere on this path. Random weights + noise pixels
+    rightly fail the confidence gate (that contract is the second half);
+    the crop+swap plumbing is exercised with the gate off."""
+    import hairfastgan_tpu.utils.face_align as fa
     from hairfastgan_tpu.models import star
 
     edge_info = tuple((True, tuple(range(98))) for _ in range(9))
@@ -90,6 +93,17 @@ def test_swap_align_star_path(hf):
         rng = np.random.RandomState(3)
         size = hf.cfg.stylegan.size
         raw = rng.rand(200, 170, 3).astype(np.float32)  # in-the-wild shape
+
+        # untrained weights on noise = diffuse heatmaps: the confidence
+        # gate must raise, never silently mis-crop (VERDICT r2 weak #7)
+        with pytest.raises(fa.AlignmentError, match="confident"):
+            hf.swap(raw, raw.copy(), raw.copy(), align=True)
+
+        # gate off: the full crop -> swap plumbing runs end-to-end
+        orig = fa.star_landmark_provider
+        monkeypatch.setattr(
+            fa, "star_landmark_provider",
+            lambda p, **kw: orig(p, **dict(kw, check=False)))
         out = hf.swap(raw, raw.copy(), raw.copy(), align=True)
         assert out.shape == (size, size, 3)
         assert np.isfinite(out).all()

@@ -266,7 +266,10 @@ def test_fid_metric_cli_both_columns(tmp_path, monkeypatch):
     from tests.test_convert_plumbing import synth_inception_state_dict
 
     ckpt = tmp_path / "inception_v3.pth"
-    torch.save(synth_inception_state_dict(), str(ckpt))
+    # torch tensors, like a real torchvision checkpoint (the loader uses
+    # weights_only=True, which rejects raw numpy globals)
+    torch.save({k: torch.from_numpy(v)
+                for k, v in synth_inception_state_dict().items()}, str(ckpt))
 
     rng = np.random.RandomState(0)
     dirs = {}

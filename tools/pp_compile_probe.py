@@ -51,25 +51,34 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
-    from hairfastgan_tpu.config import HairFastConfig
+    from hairfastgan_tpu.config import HairFastConfig, StyleGANConfig
     from hairfastgan_tpu.losses.identity import init_irse_backbone
     from hairfastgan_tpu.losses.perceptual import init_lpips_alex
     from hairfastgan_tpu.models import bisenet
     from hairfastgan_tpu.train.pp import (
         make_pp_split_train_step, make_pp_train_steps)
-    from hairfastgan_tpu.zoo import init_tiny_zoo, init_zoo_fast
+    from hairfastgan_tpu.zoo import _fill_random, init_tiny_zoo, init_zoo
 
     key = jax.random.PRNGKey(0)
+    # numpy-filled shapes: jax.random leaf-by-leaf init dispatches thousands
+    # of tiny ops through the TPU tunnel (minutes); shapes are all we need
     if args.full:
         cfg = HairFastConfig()
-        zoo = init_zoo_fast(0, cfg)
+        zoo_fn = lambda: init_zoo(jax.random.PRNGKey(0), cfg)
     else:
-        zoo, cfg = init_tiny_zoo(key)
-    frozen = {"generator": zoo["generator"],
-              "bisenet16": bisenet.init_bisenet(key, n_classes=16),
-              "id_backbone": init_irse_backbone(key),
-              "lpips": init_lpips_alex(key)}
-    params = zoo["post_process"]
+        cfg = HairFastConfig(stylegan=StyleGANConfig(size=128))
+        zoo_fn = lambda: init_tiny_zoo(jax.random.PRNGKey(0))[0]
+    shapes = jax.eval_shape(lambda: dict(
+        zoo=zoo_fn(),
+        bisenet16=bisenet.init_bisenet(key, n_classes=16),
+        id_backbone=init_irse_backbone(key),
+        lpips=init_lpips_alex(key)))
+    filled = _fill_random(shapes, 0)
+    frozen = {"generator": filled["zoo"]["generator"],
+              "bisenet16": filled["bisenet16"],
+              "id_backbone": filled["id_backbone"],
+              "lpips": filled["lpips"]}
+    params = filled["zoo"]["post_process"]
 
     b = args.batch
     rng = np.random.RandomState(0)
@@ -85,9 +94,12 @@ def main():
                                           use_adv=args.use_adv)
     opt_state = tx.init(params)
 
-    programs = {"fused_enc_step": (fused, (params, opt_state) + batch + (alpha,))}
+    # lower the INNER jitted step with frozen as an explicit argument —
+    # the public wrappers bind frozen at call time for exactly this reason
+    programs = {"fused_enc_step": (
+        fused.jitted, (params, opt_state, frozen) + batch + (alpha,))}
 
-    seg_args = (params,) + batch + (alpha,)
+    seg_args = (params, frozen) + batch + (alpha,)
     for n, fn in split.segments.items():
         if n == "seg_adv":
             continue  # only meaningful with --use_adv + disc params
@@ -113,10 +125,10 @@ def main():
                 compiled = lowered.compile()
                 row["compile_s"] = round(time.time() - t1, 1)
                 row["compile_ok"] = True
+                del compiled
             except Exception as e:
                 row["compile_ok"] = False
                 row["compile_error"] = repr(e)[:300]
-            del compiled  # noqa
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
