@@ -54,6 +54,10 @@ def main(argv=None):
     ap.add_argument("--grid_dir", type=Path, default=None,
                     help="dump validation render grids here")
     ap.add_argument("--log", type=Path, default=Path("blending_train.jsonl"))
+    ap.add_argument("--tiny", action="store_true",
+                    help="128-res random-weight config (CI smoke runs); "
+                         "align_f rows stay 32x32x512 — the FS interface "
+                         "is structural (zoo.init_tiny_zoo)")
     args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
@@ -63,11 +67,30 @@ def main(argv=None):
     from hairfastgan_tpu.train.common import MetricLogger, check_finite_loss
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
-    cfg = HairFastConfig()
-    zoo = (load_zoo(args.zoo_dir, cfg) if args.zoo_dir.exists()
-           else init_zoo(jax.random.PRNGKey(0), cfg))
-    frozen = {"generator": zoo["generator"], "clip": zoo["blending"]["clip"]}
-    params = {"mods": zoo["blending"]["mods"]}
+    key = jax.random.PRNGKey(0)
+    if args.tiny:
+        from hairfastgan_tpu.config import StyleGANConfig
+        from hairfastgan_tpu.models import clip_vit
+        from hairfastgan_tpu.models import encoders as enc_init
+        from hairfastgan_tpu.models import stylegan2 as sg2_init
+
+        # max_channels stays 512: blend renders G[4..8](layer_in=align_f)
+        # and align_f is the structural 512ch@32^2 F (pair 3) even at
+        # reduced generator resolution
+        cfg = HairFastConfig(stylegan=StyleGANConfig(size=128))
+        k1, k2, k3 = jax.random.split(key, 3)
+        clip_params = clip_vit.init_clip_image_tower(
+            k1, width=64, layers=2, heads=2, embed_dim=512)
+        blending = enc_init.init_blending_model(k2, clip_params=clip_params)
+        frozen = {"generator": sg2_init.init_generator_params(k3, cfg.stylegan),
+                  "clip": blending["clip"]}
+        params = {"mods": blending["mods"]}
+    else:
+        cfg = HairFastConfig()
+        zoo = (load_zoo(args.zoo_dir, cfg) if args.zoo_dir.exists()
+               else init_zoo(key, cfg))
+        frozen = {"generator": zoo["generator"], "clip": zoo["blending"]["clip"]}
+        params = {"mods": zoo["blending"]["mods"]}
 
     # cap the data mesh at the batch size: a global batch smaller than
     # the device count (tiny CI runs, small final batches) must not be
@@ -128,6 +151,7 @@ def main(argv=None):
             vls = [float(val_loss(params, frozen, *shard_batch(plan, b)))
                    for b in batches(test_rows, args.batch_size, shuffle=False)]
             v = float(np.mean(vls)) if vls else float("nan")
+            logger.log(val_loss=v)
 
             extra = ""
             if feat_fn is not None or args.grid_dir is not None:

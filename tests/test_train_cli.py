@@ -121,6 +121,45 @@ def test_gen_rotate_data_tiny(tmp_path):
     np.testing.assert_array_equal(h["W_to"], p["W_from"])
 
 
+def _make_blending_rows(tmp_path):
+    # row ABI of train/datagen.generate_blending_sample at tiny config:
+    # S rows are n_latent(128)=12; align_f stays the structural 32x32x512
+    # F (pair 3) regardless of generator resolution (zoo.init_tiny_zoo)
+    rng = np.random.RandomState(0)
+    data = tmp_path / "blend"
+    data.mkdir()
+    for i in range(4):
+        np.savez(data / f"row_{i:06d}.npz",
+                 color_s=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1,
+                 align_s=rng.randn(1, N_LATENT_TINY, 512).astype(np.float32) * 0.1,
+                 align_f=rng.randn(1, 32, 32, 512).astype(np.float32) * 0.1,
+                 color_i=rng.randn(1, 256, 256, 3).astype(np.float32) * 0.5,
+                 face_i=rng.randn(1, 256, 256, 3).astype(np.float32) * 0.5,
+                 target_mask=(rng.rand(1, 256, 256, 1) > 0.5).astype(np.float32),
+                 HM_3E=(rng.rand(1, 256, 256, 1) > 0.5).astype(np.float32),
+                 HM_XE=(rng.rand(1, 256, 256, 1) > 0.5).astype(np.float32))
+    return data
+
+
+def test_blending_cli_tiny_epoch(tmp_path):
+    """One --tiny epoch of the blending CLI (the flag rotate/pp already
+    had): val loss logged, best/last checkpoints, render grid."""
+    from scripts.train_blending import main
+
+    data = _make_blending_rows(tmp_path)
+    log = tmp_path / "log.jsonl"
+    main(["--data_dir", str(data), "--zoo_dir", str(tmp_path / "nozoo"),
+          "--tiny", "--epochs", "1", "--batch_size", "2",
+          "--test_frac", "0.5", "--ckpt_dir", str(tmp_path / "ckpt"),
+          "--grid_dir", str(tmp_path / "grids"), "--log", str(log)])
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert list((tmp_path / "grids").glob("epoch_*.png"))
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert any("val_loss" in rec for rec in recs)
+    assert any("face" in rec for rec in recs)
+
+
 def _make_pp_rows(tmp_path, gen_size=128):
     rng = np.random.RandomState(0)
     data = tmp_path / "pp"
