@@ -2,8 +2,14 @@
 
 .PHONY: test test-slow bench dryrun native clean
 
+# appends one wall-time line per run to SUITE_TIME.log (committed — the
+# suite-cost artifact VERDICT r3 #8 asked for; keep it under 15 min warm)
 test:
-	python -m pytest tests/ -x -q
+	@start=$$(date +%s); python -m pytest tests/ -q; rc=$$?; \
+	end=$$(date +%s); \
+	cache=$$(ls .jax_test_cache 2>/dev/null | wc -l); \
+	echo "$$(date -u +%Y-%m-%dT%H:%MZ) rc=$$rc wall_s=$$((end-start)) cache_entries=$$cache" >> SUITE_TIME.log; \
+	tail -1 SUITE_TIME.log; exit $$rc
 
 test-slow:
 	HAIRFAST_SLOW_TESTS=1 python -m pytest tests/ -x -q

@@ -24,12 +24,15 @@ from hairfastgan_tpu.ops.basic import adaptive_avg_pool, batch_norm, linear
 Array = jax.Array
 
 
-def init_irse_backbone(key, embed_dim: int = 512):
+def init_irse_backbone(key, embed_dim: int = 512, width: float = 1.0):
+    """width<1 thins the trunk (micro test configs only — converted
+    checkpoints always load at width 1; mirrors bisenet's width knob)."""
     k1, k2 = jax.random.split(key)
+    c512 = max(16, int(512 * width))
     return {
-        "body": init_irse_body(k1, se=True),
-        "bn_out": init_bn(512),
-        "fc": init_linear(k2, 512 * 7 * 7, embed_dim),
+        "body": init_irse_body(k1, se=True, width=width),
+        "bn_out": init_bn(c512),
+        "fc": init_linear(k2, c512 * 7 * 7, embed_dim),
         "bn_feat": init_bn(embed_dim),
     }
 

@@ -80,6 +80,28 @@ def make_mesh(
     return MeshPlan(Mesh(arr, ("data",)))
 
 
+def data_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence[jax.Device]] = None) -> MeshPlan:
+    """1-D data mesh sized to the LARGEST divisor of `batch_size` that fits
+    the device count (shard_batch needs dim-0 divisibility; make_mesh slices
+    devs[:n_data], so the divisor need not divide the device count itself).
+
+    gcd(batch, n_devices) silently over-shrinks: batch 6 on 8 chips would
+    train on 2 devices and a prime batch on 1. Here batch 6 on 8 chips gets
+    all 6; a warning prints whenever devices are left idle so real-hardware
+    runs surface the footgun instead of silently underusing the mesh.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n_data = max(d for d in range(1, min(batch_size, len(devs)) + 1)
+                 if batch_size % d == 0)
+    if n_data < len(devs):
+        print(f"[mesh] data mesh uses {n_data}/{len(devs)} devices "
+              f"(largest divisor of batch_size={batch_size}); pick a batch "
+              f"divisible by the device count to use the full mesh",
+              flush=True)
+    return make_mesh(n_data=n_data, devices=devs)
+
+
 def data_parallel(plan: MeshPlan, fn, in_batched: Sequence[bool]):
     """Wrap a batchwise-independent `fn` as a jitted shard_map over `data`.
 

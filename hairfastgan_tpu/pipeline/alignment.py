@@ -42,7 +42,7 @@ def _hair_mask(labels: Array, hair_label: int, dtype) -> Array:
 
 
 def _rotate_and_segment(zoo, w2: Array, w1_6: Array, *, cfg, dtype,
-                        noise_key) -> Array:
+                        noise_key, sp=None) -> Array:
     """RotateModel -> G render -> BiSeNet 256 labels of the rotated image.
 
     The single home of the rotate-render contract shared by shape_module
@@ -50,17 +50,26 @@ def _rotate_and_segment(zoo, w2: Array, w1_6: Array, *, cfg, dtype,
     re-segmentation, so cfg.rot_render_pairs (stop the synthesis at a lower
     pair) and cfg.rot_seg_size (parse at reduced res) apply here. Defaults =
     reference behavior: full render (Alignment.py:63), parse at full res
-    (Alignment.py:65-67).
+    (Alignment.py:65-67). `sp` H-bands the ≥from_res pairs over the mesh
+    axis and all-gathers the image for the (non-local) re-segmentation
+    (parallel/spatial.py).
     """
     rot6 = encoders.rotate_model(zoo["rotate"], w2[:, :6].astype(dtype),
                                  w1_6.astype(dtype))
     rotate_to = jnp.concatenate([rot6, w2[:, 6:].astype(dtype)], axis=1)
     end_pair = (cfg.rot_render_pairs if cfg.rot_render_pairs is not None
                 else cfg.stylegan.log_size - 2)
-    _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
-                                   end_layer=end_pair,
-                                   cfg=cfg.stylegan, dtype=dtype,
-                                   noise_key=noise_key)
+    if sp is not None:
+        from hairfastgan_tpu.parallel.spatial import sharded_synthesis
+
+        i_rot = sharded_synthesis(sp, zoo["generator"], rotate_to,
+                                  end_layer=end_pair, cfg=cfg.stylegan,
+                                  dtype=dtype, gather=True)
+    else:
+        _, i_rot = stylegan2.synthesis(zoo["generator"], rotate_to,
+                                       end_layer=end_pair,
+                                       cfg=cfg.stylegan, dtype=dtype,
+                                       noise_key=noise_key)
     i_rot01 = jnp.clip((i_rot + 1.0) / 2.0, 0.0, 1.0)
     if i_rot01.shape[1] > cfg.rot_seg_size:
         i_rot01 = to_res(i_rot01, cfg.rot_seg_size)
@@ -77,6 +86,7 @@ def shape_module(
     cfg: HairFastConfig = HairFastConfig(),
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
+    sp=None,
 ) -> Dict[str, Array]:
     """Target-mask prediction for the (face=1, other=2) pair.
 
@@ -92,7 +102,7 @@ def shape_module(
     else:
         rot_mask = _rotate_and_segment(
             zoo, embed2["W"], embed1["W"][:, :6], cfg=cfg, dtype=dtype,
-            noise_key=noise_key)
+            noise_key=noise_key, sp=sp)
 
         # only the face code of mask1 and the hair code of the rotated mask
         # are consumed; the reference encodes both codes for both masks and
@@ -170,6 +180,7 @@ def align_images(
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
     sm: Optional[Dict[str, Array]] = None,
+    sp=None,
 ) -> Dict[str, Array]:
     """F-space alignment of (face, shape). Returns latent_F_align + HM_X.
 
@@ -178,7 +189,7 @@ def align_images(
     """
     if sm is None:
         sm = shape_module(zoo, embed1, embed2, same=same, cfg=cfg, dtype=dtype,
-                          noise_key=noise_key)
+                          noise_key=noise_key, sp=sp)
     if same:
         return {"latent_F_align": embed1["F"], "HM_X": sm["HM_X"]}
 

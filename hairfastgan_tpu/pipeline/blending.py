@@ -44,8 +44,16 @@ def blend_images(
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
     return_intermediate: bool = False,
+    sp=None,
 ):
-    """-> final image [B,1024,1024,3] in [0,1] (Blending.py:35-81)."""
+    """-> final image [B,1024,1024,3] in [0,1] (Blending.py:35-81).
+
+    With `sp` (parallel/spatial.SpatialPlan, inside a shard_map) the two
+    generator renders H-band their ≥from_res pairs over the mesh axis:
+    I_blend gathers (PostProcess consumes the full image), the final render
+    stays BANDED — the returned image is this device's rows and the
+    caller's out_specs assemble it (zero ICI bytes for the output render).
+    """
     i_1 = embed_face["image_norm_256"].astype(dtype)
     i_3 = embed_color["image_norm_256"].astype(dtype)
 
@@ -70,16 +78,30 @@ def blend_images(
             i_1 * target_mask, i_3 * hm_3e)
         s_blend = jnp.concatenate([latent_s_1[:, :6], s_blend_6_18], axis=1)
 
-    _, i_blend = stylegan2.synthesis(
-        zoo["generator"], s_blend, start_layer=4, end_layer=8,
-        layer_in=latent_f_align, cfg=cfg.stylegan, dtype=dtype,
-        noise_key=noise_key)
+    if sp is not None:
+        from hairfastgan_tpu.parallel.spatial import sharded_synthesis
+
+        i_blend = sharded_synthesis(
+            sp, zoo["generator"], s_blend, start_layer=4, end_layer=8,
+            layer_in=latent_f_align, cfg=cfg.stylegan, dtype=dtype,
+            gather=True)
+    else:
+        _, i_blend = stylegan2.synthesis(
+            zoo["generator"], s_blend, start_layer=4, end_layer=8,
+            layer_in=latent_f_align, cfg=cfg.stylegan, dtype=dtype,
+            noise_key=noise_key)
     i_blend_256 = to_res(i_blend, 256)
 
     s_final, f_final = encoders.post_process_model(zoo["post_process"], i_1, i_blend_256)
-    _, i_final = stylegan2.synthesis(
-        zoo["generator"], s_final, start_layer=5, end_layer=8,
-        layer_in=f_final, cfg=cfg.stylegan, dtype=dtype, noise_key=noise_key)
+    if sp is not None:
+        i_final = sharded_synthesis(
+            sp, zoo["generator"], s_final, start_layer=5, end_layer=8,
+            layer_in=f_final, cfg=cfg.stylegan, dtype=dtype, gather=False)
+    else:
+        _, i_final = stylegan2.synthesis(
+            zoo["generator"], s_final, start_layer=5, end_layer=8,
+            layer_in=f_final, cfg=cfg.stylegan, dtype=dtype,
+            noise_key=noise_key)
 
     final = jnp.clip((i_final + 1.0) / 2.0, 0.0, 1.0)
     if return_intermediate:

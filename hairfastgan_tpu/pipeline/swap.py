@@ -59,15 +59,25 @@ def hair_fast(
     dtype=jnp.float32,
     noise_key: Optional[Array] = None,
     return_intermediate: bool = False,
+    sp=None,
 ):
     """One batched hair transfer -> [B,1024,1024,3] in [0,1].
 
     return_intermediate=True additionally returns the per-stage artifacts
     the reference dumps under save_all (Embedding.py:103-116,
     Alignment.py:85-93,161-179, Blending.py:71-78).
+
+    `sp` (parallel/spatial.SpatialPlan; requires running inside a shard_map
+    over sp.axis — use parallel.spatial.make_sharded_swap) H-bands the
+    ≥from_res generator renders across the mesh: the multi-chip latency
+    path. The returned image is this device's row band (out_specs
+    assemble); zero-noise only and no intermediates.
     """
     if case not in CASES:
         raise ValueError(f"case must be one of {CASES}, got {case!r}")
+    if sp is not None and (noise_key is not None or return_intermediate):
+        raise ValueError("spatially-sharded swap supports the deterministic "
+                         "zero-noise path without intermediates only")
     b = face.shape[0]
 
     # Embedding: run the <=3 distinct images as ONE batch through the zoo
@@ -108,7 +118,7 @@ def hair_fast(
     # cfg.pair_shape_modules; the default keeps the sequential calls, with
     # face==color / face==shape short-circuits mirroring the reference's
     # identity checks (Alignment.py:60,73).
-    if case == "distinct" and cfg.pair_shape_modules:
+    if case == "distinct" and cfg.pair_shape_modules and sp is None:
         # keys[1] feeds the one batched rotate-render (its [2b,...] draw
         # covers both pairs independently); keys[0] stays with align's SEAN
         # decode, mirroring the sequential path's assignment. Exact match
@@ -123,19 +133,19 @@ def hair_fast(
     else:
         align_shape = align_images(
             zoo, e_face, e_shape, same=case in ("face_eq_shape", "same"),
-            cfg=cfg, dtype=dtype, noise_key=keys[0])
+            cfg=cfg, dtype=dtype, noise_key=keys[0], sp=sp)
         if case in ("shape_eq_color", "same"):
             align_color = align_shape
         else:
             align_color = shape_module(
                 zoo, e_face, e_color, same=(case == "face_eq_color"),
-                cfg=cfg, dtype=dtype, noise_key=keys[1])
+                cfg=cfg, dtype=dtype, noise_key=keys[1], sp=sp)
 
     # Blending + PostProcess
     out = blend_images(
         zoo, align_shape, align_color, e_face, e_color,
         all_same=(case == "same"), cfg=cfg, dtype=dtype, noise_key=keys[2],
-        return_intermediate=return_intermediate)
+        return_intermediate=return_intermediate, sp=sp)
     if not return_intermediate:
         return out
     final, blend_inter = out

@@ -86,7 +86,7 @@ def main(argv=None):
     from hairfastgan_tpu.models import bisenet
     from hairfastgan_tpu.models.stylegan2_discriminator import init_discriminator
     from hairfastgan_tpu.params.checkpoint import save_train_state
-    from hairfastgan_tpu.parallel import make_mesh, replicate, shard_batch
+    from hairfastgan_tpu.parallel import data_mesh_for_batch, replicate, shard_batch
     from hairfastgan_tpu.train.common import MetricLogger, check_finite_loss
     from hairfastgan_tpu.train.pp import make_pp_train_steps
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
@@ -113,10 +113,9 @@ def main(argv=None):
 
     # cap the data mesh at the batch size: a global batch smaller than
     # the device count (tiny CI runs, small final batches) must not be
-    # forced onto the full mesh (shard_batch needs divisibility)
-    import math
-
-    plan = make_mesh(n_data=math.gcd(args.batch_size, len(jax.devices())))
+    # forced onto the full mesh (shard_batch needs divisibility); warns
+    # when devices go idle (parallel.mesh.data_mesh_for_batch)
+    plan = data_mesh_for_batch(args.batch_size)
     frozen = replicate(plan, frozen)
     params = replicate(plan, params)
 

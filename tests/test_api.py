@@ -288,3 +288,53 @@ def test_swap_stream(hf, tmp_path):
     assert sorted(micro) == [0, 1, 2]
     for i in solo:
         np.testing.assert_allclose(micro[i], solo[i], atol=2e-4)
+
+
+def test_swap_stream_skips_bad_decode(hf, tmp_path):
+    """One corrupt jpeg among 6 triples: the stream yields 5 results and
+    one (i, None) error marker — it must NOT abort in-flight work
+    (the reference's data paths drop bad rows and continue,
+    scripts/blending_train.py:181-217)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(11)
+    size = hf.cfg.stylegan.size
+    paths = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (size, size, 3), np.uint8)
+        p = tmp_path / f"s{i}.png"
+        Image.fromarray(arr).save(str(p))
+        paths.append(str(p))
+    corrupt = tmp_path / "bad.jpg"
+    corrupt.write_bytes(b"\xff\xd8 this is not a jpeg")
+    triples = [(paths[0], paths[1], paths[2]),
+               (paths[3], paths[0], paths[1]),
+               (paths[2], str(corrupt), paths[3]),  # shape fails to decode
+               (paths[1], paths[2], paths[0]),
+               (paths[0], paths[3], paths[2]),
+               (paths[3], paths[2], paths[1])]
+
+    # batch=2 grouping: group (2,3) loses triple 2 to the bad decode but
+    # triple 3's (padded) dispatch still delivers — the pad-group logic
+    # tolerates a skipped member (B=1-vs-B=2 numeric agreement is already
+    # covered by test_swap_stream)
+    with pytest.warns(UserWarning):
+        results = dict(hf.swap_stream(triples, batch=2))
+    assert sorted(results) == [0, 1, 2, 3, 4, 5]
+    assert results[2] is None
+    for i in (0, 1, 3, 4, 5):
+        assert results[i].shape == (size, size, 3)
+        assert np.isfinite(results[i]).all()
+
+    # PIL fallback path reports the same skip (B=1 program)
+    import hairfastgan_tpu.data.native_loader as nl
+
+    orig = nl.native_available
+    nl.native_available = lambda: False
+    try:
+        with pytest.warns(UserWarning):
+            fb = dict(hf.swap_stream([triples[2], triples[0]]))
+    finally:
+        nl.native_available = orig
+    assert fb[0] is None
+    assert fb[1].shape == (size, size, 3)

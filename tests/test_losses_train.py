@@ -106,49 +106,89 @@ def test_blending_train_step_tiny():
     assert np.isfinite(float(aux["face_loss"]))
 
 
-def test_pp_split_step_matches_fused():
-    """--split_compile's segmented enc_step (grad of a sum = sum of grads,
-    3 programs + apply) must produce the SAME update as the fused step —
-    it exists so PP training can compile through body-capped compile
-    proxies (axon HTTP 413 on the fused unoptimized-HLO upload)."""
+@pytest.fixture(scope="module")
+def pp_micro_setup():
+    """Micro-width PP training setup shared by the split==fused and overfit
+    tests: generator 128res/128ch, 0.25x bisenet/irse trunks, B=2 batch."""
+    from hairfastgan_tpu.config import HairFastConfig, StyleGANConfig
     from hairfastgan_tpu.losses.identity import init_irse_backbone
-    from hairfastgan_tpu.models import bisenet
-    from hairfastgan_tpu.train.pp import (
-        make_pp_split_train_step, make_pp_train_steps)
-    from hairfastgan_tpu.zoo import init_tiny_zoo
+    from hairfastgan_tpu.models import bisenet, encoders, iresnet, stylegan2
 
-    zoo, cfg = init_tiny_zoo(KEY)
-    frozen = {"generator": zoo["generator"],
-              "bisenet16": bisenet.init_bisenet(KEY, n_classes=16),
-              "id_backbone": init_irse_backbone(KEY),
-              "lpips": init_lpips_alex(KEY)}
-    params = zoo["post_process"]
-
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=128, max_channels=128))
+    n_latent = cfg.stylegan.n_latent
+    c64 = cfg.stylegan.channels(64)
+    keys = jax.random.split(KEY, 6)
+    frozen = {
+        "generator": stylegan2.init_generator_params(keys[0], cfg.stylegan),
+        "bisenet16": bisenet.init_bisenet(keys[1], n_classes=16, width=0.25),
+        "id_backbone": init_irse_backbone(keys[2], width=0.25),
+        "lpips": init_lpips_alex(keys[3]),
+    }
+    params = {
+        "encoder_face": iresnet.init_fs_encoder(keys[4], n_styles=n_latent,
+                                                fs_layers=(9,), depth=18,
+                                                width=0.25, content_ch=c64),
+        "latent_avg": jnp.zeros((n_latent, 512), jnp.float32),
+        "to_feature": iresnet.init_feature_iresnet(
+            keys[4], blocks=((c64, 1), (c64, 1)), inplanes=2 * c64),
+        "to_latent_1": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[4], 5)],
+        "to_latent_2": [encoders.init_modulation_module(k, n_latent)
+                        for k in jax.random.split(keys[5], 5)],
+    }
     rng = np.random.RandomState(0)
-    b = 1
+    b = 2
     batch = (jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
              jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
              jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32),
              jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32))
+    return cfg, frozen, params, batch
+
+
+def test_pp_split_step_matches_fused(pp_micro_setup):
+    """--split_compile's segmented enc_step (grad of a sum = sum of grads,
+    3 programs + apply) must produce the SAME update as the fused step —
+    it exists so PP training can compile through body-capped compile
+    proxies (axon HTTP 413 on the fused unoptimized-HLO upload). Runs at
+    the micro-width config (the grad-sum decomposition is width-agnostic;
+    the real-width step is TPU-validated by tools/train_tpu_probe.py) —
+    the tiny-config variant of this test cost 750 s of suite wall time.
+    """
+    from hairfastgan_tpu.train.pp import (
+        make_pp_split_train_step, make_pp_train_steps)
+
+    cfg, frozen, params, batch = pp_micro_setup
+    b = batch[0].shape[0]
     alpha = jnp.float32(0.7)
 
     fused, _, _, tx, _ = make_pp_train_steps(frozen, cfg=cfg, lr=1e-3)
     split, stx = make_pp_split_train_step(frozen, cfg=cfg, lr=1e-3)
-    opt0 = tx.init(params)
 
-    pf, of, auxf = fused(params, opt0, *batch, alpha)
-    ps, os_, auxs = split(params, stx.init(params), *batch, alpha)
-
-    assert float(auxs["loss"]) == pytest.approx(float(auxf["loss"]), rel=1e-5)
-    for k in ("dice", "id", "feat_rec", "lpips_face", "lpips_hair", "inpaint"):
-        assert float(auxs[k]) == pytest.approx(float(auxf[k]), rel=1e-4), k
-    assert float(auxs["grad_norm"]) == pytest.approx(
-        float(auxf["grad_norm"]), rel=1e-4)
-    # updated params agree to float accumulation order (Adam's eps floor
-    # amplifies near-zero-grad ULP noise; compare at a fraction of lr)
-    for a, b_ in zip(jax.tree.leaves(pf), jax.tree.leaves(ps)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=2e-4, rtol=0)
+    # a 4-step TRAJECTORY, not one step: cumulative opt_state wiring bugs
+    # (stale second moments, tree mixup after apply) only surface once the
+    # two paths iterate — per-step losses must track within float
+    # accumulation skew (measured ~3e-4 rel by step 4 at this config)
+    pf, of = params, tx.init(params)
+    ps, os_ = params, stx.init(params)
+    for step_i in range(4):
+        pf, of, auxf = fused(pf, of, *batch, alpha)
+        ps, os_, auxs = split(ps, os_, *batch, alpha)
+        assert float(auxs["loss"]) == pytest.approx(
+            float(auxf["loss"]), rel=2e-3), (step_i, auxf["loss"], auxs["loss"])
+        if step_i == 0:
+            assert float(auxs["loss"]) == pytest.approx(
+                float(auxf["loss"]), rel=1e-5)
+            for k in ("dice", "id", "feat_rec", "lpips_face", "lpips_hair",
+                      "inpaint"):
+                assert float(auxs[k]) == pytest.approx(float(auxf[k]),
+                                                       rel=1e-4), k
+            assert float(auxs["grad_norm"]) == pytest.approx(
+                float(auxf["grad_norm"]), rel=1e-4)
+            # updated params agree to float accumulation order (Adam's eps
+            # floor amplifies near-zero-grad ULP noise; compare well under lr)
+            for a, b_ in zip(jax.tree.leaves(pf), jax.tree.leaves(ps)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           atol=2e-4, rtol=0)
     # aux carries the renders the disc step / grids consume
     assert auxs["gen_f"].shape == auxf["gen_f"].shape
     assert auxs["gen_f_256"].shape == (b, 256, 256, 3)
@@ -315,3 +355,104 @@ def test_nan_guard():
         check_finite_loss(jnp.asarray(float("nan")), 3)
     with pytest.raises(FloatingPointError):
         check_finite_loss(jnp.asarray(float("inf")), 4)
+
+
+# ---------------------------------------------------------------------------
+# Overfit smoke: N steps on a FIXED tiny batch must actually reduce the loss.
+# Plumbing tests (above) prove steps run and split==fused; they are blind to
+# optimizer mis-wiring (stale opt_state, sign flips, frozen-vs-trained tree
+# mixups) that still "runs". Loss < 0.6x initial after a few dozen steps on
+# 4 fixed rows is the cheapest detector for that class of bug. Reference
+# loops certified: scripts/{rotate,blending,pp}_train.py train_one_epoch
+# (blending_train.py:101-124).
+# ---------------------------------------------------------------------------
+
+def _overfit(step, params, opt_state, args, n_steps):
+    """Run n steps on one fixed batch; return losses (finiteness asserted)."""
+    losses = []
+    for _ in range(n_steps):
+        params, opt_state, aux = step(params, opt_state, *args)
+        l = float(aux["loss"])
+        assert np.isfinite(l), f"non-finite loss at step {len(losses)}"
+        assert np.isfinite(float(aux["grad_norm"]))
+        losses.append(l)
+    return losses
+
+
+def test_rotate_overfit_smoke():
+    from hairfastgan_tpu.models.encoders import init_rotate_model
+    from hairfastgan_tpu.train.rotate import make_rotate_train_steps
+
+    params = init_rotate_model(KEY)
+    _, hair_step, tx = make_rotate_train_steps({}, None, lr=1e-3)
+    opt_state = tx.init(params)
+    w_from = jax.random.normal(KEY, (4, 18, 512)) * 0.1
+    w_to = jax.random.normal(jax.random.PRNGKey(1), (4, 18, 512)) * 0.1
+    losses = _overfit(hair_step, params, opt_state,
+                      (w_from, w_to, None), 40)
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_blending_overfit_smoke():
+    """Micro-width frozen nets (learning dynamics, not numerics)."""
+    from hairfastgan_tpu.config import HairFastConfig, StyleGANConfig
+    from hairfastgan_tpu.models import clip_vit, encoders, stylegan2
+    from hairfastgan_tpu.train.blending import make_blending_train_step
+
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=64, max_channels=128))
+    k0, k1, k2 = jax.random.split(KEY, 3)
+    frozen = {
+        "generator": stylegan2.init_generator_params(k0, cfg.stylegan),
+        "clip": clip_vit.init_clip_image_tower(k1, width=64, layers=2,
+                                               heads=2, embed_dim=512),
+    }
+    params = {"mods": [encoders.init_modulation_module(kk, 12, inp=512 * 3,
+                                                       middle=1024)
+                       for kk in jax.random.split(k2, 5)]}
+    step, tx = make_blending_train_step(frozen, cfg, lr=3e-3)
+    opt_state = tx.init(params)
+
+    n = cfg.stylegan.n_latent
+    b = 4
+    k = jax.random.PRNGKey(3)
+    batch = (
+        jax.random.normal(k, (b, n, 512)) * 0.1,
+        jax.random.normal(jax.random.fold_in(k, 1), (b, n, 512)) * 0.1,
+        jax.random.normal(jax.random.fold_in(k, 2),
+                          (b, 32, 32, cfg.stylegan.channels(32))) * 0.1,
+        jax.random.normal(jax.random.fold_in(k, 3), (b, 256, 256, 3)) * 0.5,
+        jax.random.normal(jax.random.fold_in(k, 4), (b, 256, 256, 3)) * 0.5,
+        jnp.ones((b, 256, 256, 1)),
+        jnp.ones((b, 256, 256, 1)),
+        jnp.ones((b, 256, 256, 1)),
+    )
+    losses = _overfit(step, params, opt_state, batch, 30)
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_pp_overfit_smoke(pp_micro_setup):
+    """PP descent on a fixed 2-row batch, micro-width trunks.
+
+    The DEFAULT pp objective cannot monotonically descend at random init:
+    feat_rec chases stop_grad(f_w(s)) — a target that moves with the
+    params — and dice/lpips ride frozen random nets whose floor sits just
+    under the initial loss (measured: lr 1e-4 drifts UP 3.07->4.6 over 20
+    steps while the instantaneous SGD descent check passes). So the smoke
+    uses the FIXED-target terms only (dice + masked id + lpips vs the
+    fixed source/target images; alpha=1 removes the f_w mix) and asserts
+    the measured healthy trajectory: steady descent to a plateau
+    (2.9256 -> 2.889 over 10 steps on this seed). A sign-flipped update
+    ascends, a stale opt_state / frozen-tree mixup flatlines, both fail
+    the drop bound.
+    """
+    from hairfastgan_tpu.train.pp import make_pp_train_steps
+
+    cfg, frozen, params, batch = pp_micro_setup
+    weights = {"landmark": 1.0, "id": 1.0, "feat_rec": 0.0,
+               "lpips_scale": 1.0, "inpaint": 0.0, "adv": 0.0}
+    enc_step, _, _, tx, _ = make_pp_train_steps(frozen, weights=weights,
+                                                cfg=cfg, lr=1e-3)
+    losses = _overfit(enc_step, params, tx.init(params),
+                      batch + (jnp.float32(1.0),), 10)
+    assert losses[-1] < losses[0] - 0.02, losses      # real descent happened
+    assert losses[-1] <= min(losses) + 1e-3, losses   # ...and held (no blowup)

@@ -160,6 +160,118 @@ def test_spatial_sharding_matches_single(tiny_gen):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+def test_banded_synthesis_matches_single(tiny_gen):
+    """Halo-recompute H-band sharding of the synthesis tail
+    (parallel/spatial.sharded_synthesis): banded, gathered and
+    resume-from-layer_in variants must all equal the single-device render.
+    This is the building block of the spatially-sharded composed swap —
+    the multi-chip LATENCY path (VERDICT r3 #1)."""
+    from jax.sharding import PartitionSpec as P
+
+    from hairfastgan_tpu.models import stylegan2 as sg
+    from hairfastgan_tpu.parallel.spatial import SpatialPlan, sharded_synthesis
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device conftest mesh")
+    cfg = StyleGANConfig(size=128, max_channels=64)
+    params = sg.init_generator_params(KEY, cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.n_latent, 512)) * 0.5
+    ref = np.asarray(sg.synthesis(params, lat, cfg=cfg)[1])
+
+    plan = make_mesh(n_data=2, n_model=4)
+    sp = SpatialPlan(axis="model", n=4, from_res=64, halo=8)
+
+    banded = jax.jit(jax.shard_map(
+        lambda p, l: sharded_synthesis(sp, p, l, end_layer=8, cfg=cfg,
+                                       gather=False),
+        mesh=plan.mesh, in_specs=(P(), P()), out_specs=P(None, "model")))
+    np.testing.assert_allclose(np.asarray(banded(params, lat)), ref, atol=3e-5)
+
+    gathered = jax.jit(jax.shard_map(
+        lambda p, l: sharded_synthesis(sp, p, l, end_layer=8, cfg=cfg,
+                                       gather=True),
+        mesh=plan.mesh, in_specs=(P(), P()), out_specs=P(),
+        check_vma=False))  # all_gather output is value-replicated over model
+    np.testing.assert_allclose(np.asarray(gathered(params, lat)), ref,
+                               atol=3e-5)
+
+    # resume-from-layer_in (the blend-render shape: G[4..] from F)
+    f, _ = sg.synthesis(params, lat, start_layer=0, end_layer=3, cfg=cfg)
+    ref2 = np.asarray(sg.synthesis(params, lat, start_layer=4, end_layer=8,
+                                   layer_in=f, cfg=cfg)[1])
+    resume = jax.jit(jax.shard_map(
+        lambda p, l, fi: sharded_synthesis(sp, p, l, start_layer=4,
+                                           end_layer=8, layer_in=fi, cfg=cfg,
+                                           gather=False),
+        mesh=plan.mesh, in_specs=(P(), P(), P()), out_specs=P(None, "model")))
+    np.testing.assert_allclose(np.asarray(resume(params, lat, f)), ref2,
+                               atol=3e-5)
+
+
+def test_banded_synthesis_halo_is_load_bearing(tiny_gen):
+    """halo=1 must FAIL equality: proves the receptive-field margin is real
+    (a test suite where shrinking the halo changes nothing would mean the
+    banding never engaged)."""
+    from jax.sharding import PartitionSpec as P
+
+    from hairfastgan_tpu.models import stylegan2 as sg
+    from hairfastgan_tpu.parallel.spatial import SpatialPlan, sharded_synthesis
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device conftest mesh")
+    cfg = StyleGANConfig(size=128, max_channels=64)
+    params = sg.init_generator_params(KEY, cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.n_latent, 512)) * 0.5
+    ref = np.asarray(sg.synthesis(params, lat, cfg=cfg)[1])
+
+    plan = make_mesh(n_data=2, n_model=4)
+    sp = SpatialPlan(axis="model", n=4, from_res=64, halo=1)
+    banded = jax.jit(jax.shard_map(
+        lambda p, l: sharded_synthesis(sp, p, l, end_layer=8, cfg=cfg,
+                                       gather=False),
+        mesh=plan.mesh, in_specs=(P(), P()), out_specs=P(None, "model")))
+    err = np.abs(np.asarray(banded(params, lat)) - ref).max()
+    assert err > 1e-2, f"halo=1 unexpectedly exact (err {err}) — banding inert?"
+
+
+import os  # noqa: E402
+
+
+@pytest.mark.skipif("HAIRFAST_SLOW_TESTS" not in os.environ,
+                    reason="composed sharded-swap shard_map compiles ~4 min "
+                           "on this host (XLA:CPU cannot cache shard_map "
+                           "executables); the driver dryrun phase 4 runs the "
+                           "same check every round — HAIRFAST_SLOW_TESTS=1")
+def test_sharded_swap_matches_golden_and_collectives():
+    """The COMPOSED swap (case='distinct', micro zoo) H-banded over a
+    (data=1, model=8) mesh == the committed single-device golden, and the
+    compiled program's ONLY collectives are the 3 expected all-gathers
+    (2 rotate-render re-segmentation inputs + I_blend for PostProcess);
+    the final render ships zero bytes (banded out_specs)."""
+    import __graft_entry__ as ge
+    from hairfastgan_tpu.parallel.spatial import make_sharded_swap
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-device conftest mesh")
+    zoo, pcfg, trip, _ = ge._pipeline_setup(8)
+    ref = ge._load_golden(8, pcfg.stylegan.size)
+    assert ref is not None, "run `python __graft_entry__.py --regen-golden`"
+    one = tuple(t[0:1] for t in trip)
+
+    plan = make_mesh(n_data=1, n_model=8)
+    sw = make_sharded_swap(plan, case="distinct", cfg=pcfg, from_res=64,
+                           halo=8)
+    compiled = sw.lower(zoo, *one).compile()
+    txt = compiled.as_text()
+    assert txt.count("all-gather") == 3, txt.count("all-gather")
+    for op in ("all-reduce", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        assert txt.count(op) == 0, f"unexpected {op} in sharded swap"
+
+    out = np.asarray(compiled(zoo, *one))
+    np.testing.assert_allclose(out, ref[0:1], atol=2e-4, rtol=0)
+
+
 def test_swap_batch_sharded_distinct_vs_golden():
     """ALWAYS-ON general-case mesh proof (VERDICT r2 #2): the full composed
     pipeline (Embedding -> Align -> Blend -> PostProcess, case='distinct')

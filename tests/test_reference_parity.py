@@ -321,6 +321,49 @@ def test_generator_slice_resume_parity(sg2_pair):
     assert_close(img_t, nchw(img_j), atol=5e-4, name="resume render")
 
 
+def test_noise_shapes_match_reference_make_noise(sg2_pair):
+    """`make_noise` must draw per-layer noise maps with the reference
+    Generator.make_noise's shapes in the same order (model.py:458-464):
+    one 4x4 map, then two maps per resolution 8..size — the contract the
+    stochastic `noise_key` mode relies on."""
+    from hairfastgan_tpu.models import stylegan2 as sg
+
+    g, params, cfg = sg2_pair
+    ref_noises = g.make_noise()
+    ours = sg.make_noise(jax.random.PRNGKey(0), cfg, batch=3)
+    assert len(ours) == len(ref_noises) == cfg.num_layers
+    for i, (rt, oj) in enumerate(zip(ref_noises, ours)):
+        # reference NCHW [1,1,H,W] vs ours NHWC [B,H,W,1]
+        assert tuple(oj.shape) == (3, rt.shape[2], rt.shape[3], 1), f"layer {i}"
+    # fresh gaussian draws, not copies: layers are mutually independent
+    flat = [np.asarray(o).ravel() for o in ours]
+    assert abs(float(np.corrcoef(flat[1], flat[2])[0, 1])) < 0.1
+
+
+def test_generator_noise_injected_parity(sg2_pair):
+    """A render under OUR sampled noise must equal the reference Generator
+    fed the SAME maps (model.py:288-293 injection points): proves the
+    noise_key mode injects at the reference's layers in the right order,
+    not just that shapes line up."""
+    from hairfastgan_tpu.models import stylegan2 as sg
+
+    g, params, cfg = sg2_pair
+    w = torch.randn(2, cfg.n_latent, 512) * 0.7
+    key = jax.random.PRNGKey(42)
+    noise_j = sg.make_noise(key, cfg, batch=2)
+    noise_t = [torch.from_numpy(nchw(n)) for n in noise_j]
+    with torch.no_grad():
+        img_t, _ = g([w], input_is_latent=True, noise=noise_t)
+    _, img_j = sg.synthesis(params, jnp.asarray(w.numpy()), noise=noise_j,
+                            cfg=cfg)
+    assert_close(img_t, nchw(img_j), atol=5e-4, name="noise-injected render")
+
+    # the noise_key convenience path == explicitly passing make_noise(key)
+    _, img_k = sg.synthesis(params, jnp.asarray(w.numpy()), noise_key=key,
+                            cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(img_k), np.asarray(img_j))
+
+
 def test_discriminator_parity(ref):
     from models.stylegan2.model import Discriminator
 

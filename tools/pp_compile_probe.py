@@ -94,15 +94,29 @@ def main():
                                           use_adv=args.use_adv)
     opt_state = tx.init(params)
 
+    # the adversarial variants consume discriminator params BEFORE alpha
+    # (make_pp_train_steps' loss_fn unpacks `*batch, disc_params, alpha`)
+    disc_tail = ()
+    if args.use_adv:
+        from hairfastgan_tpu.models.stylegan2_discriminator import (
+            init_discriminator)
+
+        disc_tail = (_fill_random(
+            jax.eval_shape(lambda: init_discriminator(key, cfg.stylegan)),
+            1),)
+
     # lower the INNER jitted step with frozen as an explicit argument —
     # the public wrappers bind frozen at call time for exactly this reason
     programs = {"fused_enc_step": (
-        fused.jitted, (params, opt_state, frozen) + batch + (alpha,))}
+        fused.jitted, (params, opt_state, frozen) + batch + disc_tail + (alpha,))}
 
     seg_args = (params, frozen) + batch + (alpha,)
     for n, fn in split.segments.items():
         if n == "seg_adv":
-            continue  # only meaningful with --use_adv + disc params
+            if not args.use_adv:
+                continue  # needs disc params
+            programs[n] = (fn, seg_args + disc_tail)
+            continue
         if n == "apply":
             zero_g = jax.tree.map(jnp.zeros_like, params)
             programs[n] = (fn, (params, opt_state, zero_g, zero_g, zero_g))
