@@ -51,6 +51,34 @@ def _seg16_logits(frozen, img01: Array) -> Array:
     return bisenet.bisenet_logits(frozen["bisenet16"], bisenet.to_bisenet_input(x))
 
 
+def _make_synth(remat: bool, cfg: HairFastConfig):
+    """Generator-render helper with PER-RENDER rematerialization.
+
+    The PP losses render the frozen generator up to 3x at full resolution
+    (W path, F path, feature-only path); with plain grad all three renders'
+    conv activations are live simultaneously when the backward pass starts —
+    the dominant temp-HBM term at 1024² (measured 8.9 GB at B=2 f32,
+    TRAIN_r04.json). `remat=True` wraps EACH render in jax.checkpoint: the
+    forward keeps only the render's small inputs (S [B,18,512], F
+    [B,64,64,512]) and rematerializes one render at a time when its
+    cotangent arrives, so peak temp falls to ~one render's residuals for
+    ~one extra forward of generator FLOPs. Note a checkpoint around the
+    WHOLE loss cannot move peak memory — its rematerialized forward
+    re-stores every residual at once — which is why the lever sits here.
+    """
+
+    def synth(gen, s, start_layer=0, end_layer=8, layer_in=None):
+        def f(gen, s, layer_in):
+            return stylegan2.synthesis(gen, s, start_layer=start_layer,
+                                       end_layer=end_layer, layer_in=layer_in,
+                                       cfg=cfg.stylegan)
+
+        return jax.checkpoint(f)(gen, s, layer_in) if remat \
+            else f(gen, s, layer_in)
+
+    return synth
+
+
 def pp_loss(
     params,
     frozen: Dict,
@@ -59,19 +87,21 @@ def pp_loss(
     alpha: float = 1.0,
     disc_params=None,
     cfg: HairFastConfig = HairFastConfig(),
+    remat: bool = False,
 ) -> Tuple[Array, Dict[str, Array]]:
     """batch: (source norm256, target norm256, target_mask [B,256,256,1],
-    HT_E [B,256,256,1]); `alpha` anneals the F injection (pp_train.py:133-137)."""
+    HT_E [B,256,256,1]); `alpha` anneals the F injection (pp_train.py:133-137).
+    remat: per-render rematerialization (see `_make_synth`)."""
     source, target, target_mask, ht_e = batch
+    synth = _make_synth(remat, cfg)
 
     s, f = encoders.post_process_model(params, source, target)
 
-    _, gen_w = stylegan2.synthesis(frozen["generator"], s, cfg=cfg.stylegan)
-    f_w, _ = stylegan2.synthesis(frozen["generator"], s, start_layer=0,
-                                 end_layer=4, cfg=cfg.stylegan)
+    _, gen_w = synth(frozen["generator"], s)
+    f_w, _ = synth(frozen["generator"], s, start_layer=0, end_layer=4)
     f_in = alpha * f + (1.0 - alpha) * jax.lax.stop_gradient(f_w)
-    _, gen_f = stylegan2.synthesis(frozen["generator"], s, start_layer=5,
-                                   end_layer=8, layer_in=f_in, cfg=cfg.stylegan)
+    _, gen_f = synth(frozen["generator"], s, start_layer=5, end_layer=8,
+                     layer_in=f_in)
 
     gen_w_256 = to_res(gen_w, 256)
     gen_f_256 = to_res(gen_f, 256)
@@ -153,18 +183,17 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 
     tx = adam_with_clip(lr)
 
+    synth = _make_synth(remat, cfg)
+
     def _renders(params, frozen, source, target, alpha, need_w: bool):
         s, f = encoders.post_process_model(params, source, target)
-        f_w, _ = stylegan2.synthesis(frozen["generator"], s, start_layer=0,
-                                     end_layer=4, cfg=cfg.stylegan)
+        f_w, _ = synth(frozen["generator"], s, start_layer=0, end_layer=4)
         f_in = alpha * f + (1.0 - alpha) * jax.lax.stop_gradient(f_w)
-        _, gen_f = stylegan2.synthesis(frozen["generator"], s, start_layer=5,
-                                       end_layer=8, layer_in=f_in,
-                                       cfg=cfg.stylegan)
+        _, gen_f = synth(frozen["generator"], s, start_layer=5, end_layer=8,
+                         layer_in=f_in)
         gen_w = None
         if need_w:
-            _, gen_w = stylegan2.synthesis(frozen["generator"], s,
-                                           cfg=cfg.stylegan)
+            _, gen_w = synth(frozen["generator"], s)
         return s, f, f_w, gen_w, gen_f
 
     def seg_dice(params, frozen, source, target, target_mask, ht_e, alpha):
@@ -224,13 +253,12 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
         v = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
         return v, {"adv": v}
 
-    def _maybe_remat(f):
-        return jax.checkpoint(f) if remat else f
-
-    g_dice = jax.jit(jax.value_and_grad(_maybe_remat(seg_dice), has_aux=True))
-    g_idft = jax.jit(jax.value_and_grad(_maybe_remat(seg_id_feat), has_aux=True))
-    g_lpip = jax.jit(jax.value_and_grad(_maybe_remat(seg_lpips), has_aux=True))
-    g_adv = jax.jit(jax.value_and_grad(_maybe_remat(seg_adv), has_aux=True))
+    # remat acts per-render inside _renders (see _make_synth) — a
+    # whole-segment checkpoint would not reduce peak temp HBM
+    g_dice = jax.jit(jax.value_and_grad(seg_dice, has_aux=True))
+    g_idft = jax.jit(jax.value_and_grad(seg_id_feat, has_aux=True))
+    g_lpip = jax.jit(jax.value_and_grad(seg_lpips, has_aux=True))
+    g_adv = jax.jit(jax.value_and_grad(seg_adv, has_aux=True))
 
     @jax.jit
     def _apply(params, opt_state, *grads):
@@ -273,7 +301,7 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                         cfg: HairFastConfig = HairFastConfig(),
                         lr: float = 1e-4, use_adv: bool = False,
-                        remat: bool = False):
+                        remat: bool = False, donate: bool = False):
     tx = adam_with_clip(lr)
 
     def loss_fn(params, frozen_arg, *batch_and_disc):
@@ -283,22 +311,24 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
             *batch, alpha = batch_and_disc
             disc_params = None
         losses, aux = pp_loss(params, frozen_arg, tuple(batch), weights,
-                              alpha, disc_params, cfg)
+                              alpha, disc_params, cfg, remat=remat)
         return losses, aux
 
-    # remat: the encoder loss renders the frozen generator 3x (W path,
-    # F path, full) — rematerializing those renders is most of the win.
+    # remat rematerializes each frozen-generator render (W path, F path,
+    # full — see _make_synth), the dominant 1024² temp-HBM term; donate
+    # releases the old params/opt_state buffers to the new ones (callers
+    # must thread the returned state, as real training loops do).
     # frozen is a call-time argument: closed-over weights embed as HLO
     # literals (445 MB unoptimized proto at tiny config — the axon
     # remote_compile HTTP 413 root cause; tools/pp_compile_probe.py)
-    enc_step = make_train_step(loss_fn, tx, donate=False, remat=remat,
-                               frozen=frozen)
+    enc_step = make_train_step(loss_fn, tx, donate=donate, frozen=frozen)
 
     disc_step = d_tx = None
     if use_adv:
         d_tx = adam_with_clip(lr)
         disc_step = make_train_step(
-            lambda p, real, fake: pp_disc_loss(p, real, fake), d_tx, donate=False)
+            lambda p, real, fake: pp_disc_loss(p, real, fake), d_tx,
+            donate=donate)
 
     def r1_step(disc_params, real):
         return r1_penalty(lambda p, x: discriminator(p, x), disc_params, real)

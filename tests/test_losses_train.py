@@ -456,3 +456,29 @@ def test_pp_overfit_smoke(pp_micro_setup):
                       batch + (jnp.float32(1.0),), 10)
     assert losses[-1] < losses[0] - 0.02, losses      # real descent happened
     assert losses[-1] <= min(losses) + 1e-3, losses   # ...and held (no blowup)
+
+
+def test_pp_remat_and_donate_match_plain(pp_micro_setup):
+    """remat=True (per-render jax.checkpoint, train/pp._make_synth — the
+    HBM lever for full-width 1024² training, TRAIN_r04.json) must be pure
+    rematerialization: identical loss, updated params within Adam's
+    eps-floor ULP amplification of the recompute-order grad noise (same
+    atol the split==fused test uses). donate=True must thread state across
+    steps without touching the math."""
+    from hairfastgan_tpu.train.pp import make_pp_train_steps
+
+    cfg, frozen, params, batch = pp_micro_setup
+    alpha = jnp.float32(0.7)
+    plain, _, _, tx0, _ = make_pp_train_steps(frozen, cfg=cfg)
+    remat, _, _, tx1, _ = make_pp_train_steps(frozen, cfg=cfg, remat=True)
+    p0, _, a0 = plain(params, tx0.init(params), *batch, alpha)
+    p1, _, a1 = remat(params, tx1.init(params), *batch, alpha)
+    assert float(a0["loss"]) == float(a1["loss"])
+    for x, y in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+    dstep, _, _, txd, _ = make_pp_train_steps(frozen, cfg=cfg, donate=True)
+    pd, od = params, txd.init(params)
+    for _ in range(2):
+        pd, od, ad = dstep(pd, od, *batch, alpha)
+    assert np.isfinite(float(ad["loss"]))

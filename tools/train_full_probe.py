@@ -7,39 +7,48 @@ adversarial discriminator + lazy R1) and records, per program:
   compile_s   TPU compile wall time through the tunnel
   hlo_mb      unoptimized-HLO proto size (the remote_compile upload;
               the HTTP-413 guard — must stay MBs with frozen-as-argument)
-  step_s      per-step wall times (scalar-fetch synced; first entry after
-              compile is steady-state, inputs varied per step)
+  step_s      per-step wall times (scalar-fetch synced; batches are
+              pre-staged on device and varied per step so neither tunnel
+              upload nor the repeat-execution cache pollutes the numbers)
   memory      XLA memory analysis of the compiled executable (argument /
               output / temp bytes — temp is the activation HBM the remat
-              flag exists to shrink)
+              flag exists to shrink; see train/pp._make_synth)
 Results land in TRAIN_r04.json at the repo root (the committed artifact).
 
-B descends 8 -> 4 -> 2 -> 1 on OOM/compile failure per program family, so
-the artifact reports the max batch that fits instead of dying.
+Isolation: every (program, batch) rung runs in its OWN subprocess
+(`--one name:b`). A single process accumulates device state across rungs —
+measured: after the fused B=2 executable OOM'd, even optimizer INIT at B=1
+hit RESOURCE_EXHAUSTED, poisoning the rest of the ladder. The orchestrator
+(default mode) descends the batch ladder per program, merges each rung's
+RESULT line into TRAIN_r04.json immediately (a killed run still leaves the
+artifact), and stops the ladder at the first batch that steps successfully.
 
 Usage (TPU host; expect ~1 h cold, the persistent cache covers reruns):
-    python tools/train_full_probe.py [--programs fused,fused_remat,split,disc,r1]
-    python tools/train_full_probe.py --batches 8
+    python tools/train_full_probe.py [--programs fused,fused_remat,...]
+    python tools/train_full_probe.py --one fused_remat:4
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 OUT = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
+ALL_PROGRAMS = ("fused", "fused_remat", "split", "split_remat", "disc", "r1")
 
+
+# --------------------------------------------------------------------------
+# single-rung worker (--one name:b)
+# --------------------------------------------------------------------------
 
 def _enable_compile_cache():
+    import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/hairfast_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -71,13 +80,16 @@ def hlo_mb(lowered):
         return None
 
 
-def probe(fn, args, sync, n_steps=3, vary=None):
-    """lower -> compile -> n timed steps. Returns a result row; never raises
-    (OOM / 413 / compile errors land in the row)."""
+def probe(fn, args, run_steps):
+    """lower -> compile -> run_steps(compiled). Returns a result row; never
+    raises (OOM / 413 / compile errors land in the row)."""
+    import jax
+
     row = {}
     t0 = time.time()
     try:
-        lowered = fn.lower(*args) if hasattr(fn, "lower") else jax.jit(fn).lower(*args)
+        lowered = fn.lower(*args) if hasattr(fn, "lower") \
+            else jax.jit(fn).lower(*args)
     except Exception as e:
         return {"lower_error": repr(e)[:300]}
     row["lower_s"] = round(time.time() - t0, 1)
@@ -90,36 +102,22 @@ def probe(fn, args, sync, n_steps=3, vary=None):
         return row
     row["compile_s"] = round(time.time() - t0, 1)
     row["memory"] = memory_analysis(compiled)
-    steps = []
     try:
-        for i in range(n_steps):
-            a = vary(args, i) if vary else args
-            t0 = time.time()
-            out = compiled(*a)
-            sync(out)
-            steps.append(round(time.time() - t0, 2))
+        row["step_s"] = run_steps(compiled)
     except Exception as e:
         row["run_error"] = repr(e)[:300]
-    row["step_s"] = steps
     return row
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--programs",
-                    default="fused,fused_remat,split,disc,r1",
-                    help="comma list of fused,fused_remat,split,split_remat,"
-                         "disc,r1")
-    ap.add_argument("--batches", default="8,4,2,1",
-                    help="descending batch ladder; stops at first success "
-                         "per program")
-    ap.add_argument("--steps", type=int, default=3)
-    args = ap.parse_args()
+def run_one(name: str, b: int, n_steps: int, size: int = 1024):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     _enable_compile_cache()
     print("devices:", jax.devices(), flush=True)
 
-    from hairfastgan_tpu.config import HairFastConfig
+    from hairfastgan_tpu.config import HairFastConfig, StyleGANConfig
     from hairfastgan_tpu.losses.identity import init_irse_backbone
     from hairfastgan_tpu.losses.perceptual import init_lpips_alex
     from hairfastgan_tpu.models import bisenet
@@ -129,152 +127,237 @@ def main():
         make_pp_split_train_step, make_pp_train_steps)
     from hairfastgan_tpu.zoo import _fill_random, init_zoo
 
-    cfg = HairFastConfig()  # REAL width: 1024² renders
+    # default = REAL width, 1024² renders; --size shrinks the generator for
+    # cheap plumbing smoke tests of the probe itself
+    cfg = HairFastConfig(stylegan=StyleGANConfig(size=size))
     key = jax.random.PRNGKey(0)
-    shapes = jax.eval_shape(lambda: dict(
-        zoo=init_zoo(key, cfg),
-        bisenet16=bisenet.init_bisenet(key, n_classes=16),
-        id_backbone=init_irse_backbone(key),
-        lpips=init_lpips_alex(key),
-        disc=init_discriminator(key, cfg.stylegan)))
+    remat = name.endswith("_remat")
+    disc_like = name in ("disc", "r1")
+
+    shape_tree = dict(disc=init_discriminator(key, cfg.stylegan)) if disc_like \
+        else dict(zoo=init_zoo(key, cfg),
+                  bisenet16=bisenet.init_bisenet(key, n_classes=16),
+                  id_backbone=init_irse_backbone(key),
+                  lpips=init_lpips_alex(key))
+    shapes = jax.eval_shape(lambda: shape_tree)
     filled = _fill_random(shapes, 0)
-    # device-resident ONCE: numpy args would re-ship the ~2 GB frozen tree
-    # through the tunnel on every compiled call
-    frozen = jax.device_put({"generator": filled["zoo"]["generator"],
-                             "bisenet16": filled["bisenet16"],
-                             "id_backbone": filled["id_backbone"],
-                             "lpips": filled["lpips"]})
-    params = jax.device_put(filled["zoo"]["post_process"])
-    disc_params = jax.device_put(filled["disc"])
     size = cfg.stylegan.size
-
-    def batch_at(b, seed=0):
-        rng = np.random.RandomState(seed)
-        return (jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
-                jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
-                jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32),
-                jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32))
-
     alpha = jnp.float32(0.7)
-    results = {"config": {"size": size, "dtype": "float32",
-                          "device": str(jax.devices()[0])}}
-    want = [p.strip() for p in args.programs.split(",")]
-    ladder = [int(b) for b in args.batches.split(",")]
 
-    def sync_enc(out):
-        # out = (params, opt_state, aux)
-        float(np.asarray(out[2]["loss"]))
+    def _stage(tree):
+        """device_put + force (axon's block_until_ready is a no-op)."""
+        tree = jax.device_put(tree)
+        np.asarray(jax.tree.leaves(tree)[0]).ravel()[:1]
+        return tree
 
-    def run_ladder(name, build):
-        """build(b) -> (fn, args, sync, vary). Descends the batch ladder."""
-        for b in ladder:
-            print(f"[{name}] B={b} ...", flush=True)
-            fn, a, sync, vary = build(b)
-            row = probe(fn, a, sync, n_steps=args.steps, vary=vary)
-            row["batch"] = b
-            ok = row.get("step_s") and "run_error" not in row
-            results[name] = row
-            print(f"[{name}] B={b}: {row}", flush=True)
-            if ok:
-                break
+    def staged_batches(maker):
+        return [_stage(maker(i)) for i in range(n_steps)]
 
-    if "fused" in want or "fused_remat" in want:
-        for name, remat in (("fused", False), ("fused_remat", True)):
-            if name not in want:
-                continue
+    if disc_like:
+        disc_params = _stage(filled["disc"])
 
-            def build(b, remat=remat):
-                fused, _, _, tx, _ = make_pp_train_steps(frozen, cfg=cfg,
-                                                         remat=remat)
-                opt_state = tx.init(params)
-                a = (params, opt_state, frozen) + batch_at(b) + (alpha,)
-
-                def vary(base, i):
-                    return base[:3] + batch_at(b, seed=i) + (alpha,)
-
-                return fused.jitted, a, sync_enc, vary
-
-            run_ladder(name, build)
-
-    if "split" in want or "split_remat" in want:
-        for name, remat in (("split", False), ("split_remat", True)):
-            if name not in want:
-                continue
-            for b in ladder:
-                split, stx = make_pp_split_train_step(frozen, cfg=cfg,
-                                                      remat=remat)
-                seg_args = (params, frozen) + batch_at(b) + (alpha,)
-                fam = {}
-                ok = True
-                for seg_name, seg in split.segments.items():
-                    if seg_name == "seg_adv":
-                        continue
-                    vary = None
-                    if seg_name == "apply":
-                        zg = jax.tree.map(jnp.zeros_like, params)
-                        a = (params, stx.init(params), zg, zg, zg)
-                        sync = lambda out: float(np.asarray(out[2]))
-                    else:
-                        a = seg_args
-                        sync = lambda out: float(np.asarray(out[0][0]))
-                        # distinct inputs per timed step: identical repeat
-                        # executions can be served from a cache through the
-                        # tunnel (CLAUDE.md)
-                        vary = (lambda base, i, b=b:
-                                (base[0], base[1]) + batch_at(b, seed=i)
-                                + (alpha,))
-                    print(f"[{name}:{seg_name}] B={b} ...", flush=True)
-                    row = probe(seg, a, sync, n_steps=args.steps, vary=vary)
-                    fam[seg_name] = row
-                    print(f"[{name}:{seg_name}] B={b}: {row}", flush=True)
-                    ok = ok and row.get("step_s") and "run_error" not in row
-                fam["batch"] = b
-                results[name] = fam
-                if ok:
-                    break
-
-    if "disc" in want:
-        def build_disc(b):
-            _, disc_step, _, _, d_tx = make_pp_train_steps(frozen, cfg=cfg,
-                                                           use_adv=True)
-            d_opt = d_tx.init(disc_params)
-            rng = np.random.RandomState(1)
-            real = jnp.asarray(rng.randn(b, size, size, 3), jnp.float32) * 0.3
-            fake = jnp.asarray(rng.randn(b, size, size, 3), jnp.float32) * 0.3
-            a = (disc_params, d_opt, None, real, fake)
-
-            def vary(base, i):
-                r = np.random.RandomState(10 + i)
-                return base[:3] + (
-                    jnp.asarray(r.randn(b, size, size, 3), jnp.float32) * 0.3,
+        def img_pair(i):
+            r = np.random.RandomState(100 + i)
+            return (jnp.asarray(r.randn(b, size, size, 3), jnp.float32) * 0.3,
                     jnp.asarray(r.randn(b, size, size, 3), jnp.float32) * 0.3)
 
-            return disc_step.jitted, a, sync_enc, vary
+        batches = staged_batches(img_pair)
+        if name == "disc":
+            _, disc_step, _, _, d_tx = make_pp_train_steps(
+                {}, cfg=cfg, use_adv=True, donate=True)
+            d_opt = _stage(d_tx.init(disc_params))
 
-        run_ladder("disc", build_disc)
+            def run_steps(compiled):
+                dp, do = disc_params, d_opt
+                times = []
+                for real, fake in batches:
+                    t0 = time.time()
+                    dp, do, aux = compiled(dp, do, None, real, fake)
+                    float(np.asarray(aux["loss"]))
+                    times.append(round(time.time() - t0, 2))
+                return times
 
-    if "r1" in want:
-        def build_r1(b):
-            _, _, r1_step, _, _ = make_pp_train_steps(frozen, cfg=cfg,
+            row = probe(disc_step.jitted,
+                        (disc_params, d_opt, None) + batches[0], run_steps)
+        else:  # r1
+            _, _, r1_step, _, _ = make_pp_train_steps({}, cfg=cfg,
                                                       use_adv=True)
-            rng = np.random.RandomState(2)
-            real = jnp.asarray(rng.randn(b, size, size, 3), jnp.float32) * 0.3
-            a = (disc_params, real)
 
-            def vary(base, i):
-                r = np.random.RandomState(20 + i)
-                return (base[0],
-                        jnp.asarray(r.randn(b, size, size, 3),
-                                    jnp.float32) * 0.3)
+            def run_steps(compiled):
+                times = []
+                for real, _ in batches:
+                    t0 = time.time()
+                    out = compiled(disc_params, real)
+                    float(np.asarray(out))
+                    times.append(round(time.time() - t0, 2))
+                return times
 
-            def sync(out):
-                float(np.asarray(out))
+            row = probe(r1_step, (disc_params, batches[0][0]), run_steps)
+    else:
+        # device-resident ONCE: numpy args would re-ship the ~2 GB frozen
+        # tree through the tunnel on every compiled call
+        frozen = _stage({"generator": filled["zoo"]["generator"],
+                         "bisenet16": filled["bisenet16"],
+                         "id_backbone": filled["id_backbone"],
+                         "lpips": filled["lpips"]})
+        params = _stage(filled["zoo"]["post_process"])
 
-            return r1_step, a, sync, vary
+        def batch_at(i):
+            rng = np.random.RandomState(i)
+            return (jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
+                    jnp.asarray(rng.randn(b, 256, 256, 3), jnp.float32) * 0.3,
+                    jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32),
+                    jnp.asarray(rng.rand(b, 256, 256, 1) > 0.5, jnp.float32))
 
-        run_ladder("r1", build_r1)
+        batches = staged_batches(batch_at)
 
-    OUT.write_text(json.dumps(results, indent=1))
+        if name.startswith("fused"):
+            fused, _, _, tx, _ = make_pp_train_steps(frozen, cfg=cfg,
+                                                     remat=remat, donate=True)
+            opt_state = _stage(tx.init(params))
+
+            def run_steps(compiled):
+                p, o = params, opt_state
+                times = []
+                for bt in batches:
+                    t0 = time.time()
+                    p, o, aux = compiled(p, o, frozen, *bt, alpha)
+                    float(np.asarray(aux["loss"]))
+                    times.append(round(time.time() - t0, 2))
+                return times
+
+            row = probe(fused.jitted,
+                        (params, opt_state, frozen) + batches[0] + (alpha,),
+                        run_steps)
+        else:  # split / split_remat: one row per segment
+            split, stx = make_pp_split_train_step(frozen, cfg=cfg,
+                                                  remat=remat)
+            row = {}
+            for seg_name, seg in split.segments.items():
+                if seg_name == "seg_adv":
+                    continue
+                if seg_name == "apply":
+                    zg = jax.tree.map(jnp.zeros_like, params)
+                    opt0 = stx.init(params)
+
+                    def run_steps(compiled):
+                        times = []
+                        for _ in range(n_steps):
+                            t0 = time.time()
+                            out = compiled(params, opt0, zg, zg, zg)
+                            float(np.asarray(out[2]))
+                            times.append(round(time.time() - t0, 2))
+                        return times
+
+                    a = (params, opt0, zg, zg, zg)
+                else:
+                    def run_steps(compiled):
+                        times = []
+                        for bt in batches:
+                            t0 = time.time()
+                            out = compiled(params, frozen, *bt, alpha)
+                            float(np.asarray(out[0][0]))
+                            times.append(round(time.time() - t0, 2))
+                        return times
+
+                    a = (params, frozen) + batches[0] + (alpha,)
+                print(f"[{name}:{seg_name}] B={b} ...", flush=True)
+                seg_row = probe(seg, a, run_steps)
+                print(f"[{name}:{seg_name}] B={b}: {seg_row}", flush=True)
+                row[seg_name] = seg_row
+
+    row["batch"] = b
+    print("RESULT " + json.dumps(row), flush=True)
+    return row
+
+
+def _rung_ok(row) -> bool:
+    if "batch" not in row:
+        return False
+    segs = [v for v in row.values() if isinstance(v, dict) and (
+        "step_s" in v or "compile_error" in v or "run_error" in v
+        or "lower_error" in v)]
+    rows = segs if segs else [row]
+    return all(r.get("step_s") and "run_error" not in r for r in rows)
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--programs", default=",".join(ALL_PROGRAMS),
+                    help="comma list of " + ",".join(ALL_PROGRAMS))
+    ap.add_argument("--batches", default="8,4,2,1",
+                    help="descending batch ladder; stops at first success "
+                         "per program")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--timeout", type=int, default=2400,
+                    help="per-rung subprocess timeout (s); full-width fused "
+                         "compiles took ~8 min through the tunnel, and the "
+                         "TPU attach itself can stall ~10 min after a "
+                         "previous process detaches")
+    ap.add_argument("--size", type=int, default=1024,
+                    help="generator size (default = real width; shrink for "
+                         "plumbing smoke tests)")
+    ap.add_argument("--one", default=None, metavar="NAME:B",
+                    help="worker mode: run a single (program, batch) rung "
+                         "in THIS process and print a RESULT line")
+    args = ap.parse_args()
+
+    if args.one:
+        name, b = args.one.rsplit(":", 1)
+        run_one(name, int(b), args.steps, size=args.size)
+        return
+
+    results = {}
+    if OUT.exists():  # resume: keep earlier rungs, re-run requested programs
+        try:
+            results = json.loads(OUT.read_text())
+        except Exception:
+            results = {}
+    results["config"] = {"size": args.size, "dtype": "float32",
+                         "ladder": args.batches,
+                         "note": "each rung = fresh subprocess; per program "
+                                 "the row is the LARGEST batch that stepped, "
+                                 "failed_rungs lists the batches above it"}
+
+    def save():
+        OUT.write_text(json.dumps(results, indent=1))
+
+    for name in [p.strip() for p in args.programs.split(",")]:
+        failed = []
+        for b in [int(x) for x in args.batches.split(",")]:
+            print(f"=== [{name}] B={b} (subprocess) ===", flush=True)
+            t0 = time.time()
+            for attempt in (0, 1):  # one retry: TPU attach can stall ~10 min
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, __file__, "--one", f"{name}:{b}",
+                         "--steps", str(args.steps), "--size", str(args.size)],
+                        capture_output=True, text=True, timeout=args.timeout)
+                    out = proc.stdout + proc.stderr
+                    line = next((ln for ln in proc.stdout.splitlines()[::-1]
+                                 if ln.startswith("RESULT ")), None)
+                    row = json.loads(line[len("RESULT "):]) if line else {
+                        "proc_error": out.strip()[-400:], "batch": b,
+                        "returncode": proc.returncode}
+                    break
+                except subprocess.TimeoutExpired:
+                    row = {"timeout_s": args.timeout, "batch": b,
+                           "retried": attempt == 1}
+            row["rung_wall_s"] = round(time.time() - t0, 1)
+            results[name] = dict(row, failed_rungs=failed)
+            save()
+            print(f"[{name}] B={b}: {json.dumps(row)[:600]}", flush=True)
+            if _rung_ok(row):
+                break
+            failed.append({"batch": b, **{k: v for k, v in row.items()
+                                          if "error" in str(k)
+                                          or k == "timeout_s"}})
+
+    save()
     print(f"wrote {OUT}", flush=True)
 
 
