@@ -39,6 +39,17 @@ from hairfastgan_tpu.train.common import adam_with_clip, make_train_step
 
 Array = jax.Array
 
+
+def _cast_floats(tree, dtype):
+    """Cast float leaves to `dtype` (ints / Static config untouched)."""
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, tree)
+
+
 DEFAULT_WEIGHTS = {
     "landmark": 1.0, "id": 1.0, "feat_rec": 1.0,
     "lpips_scale": 1.0, "inpaint": 1.0, "adv": 0.1,
@@ -55,16 +66,19 @@ def _make_synth(remat: bool, cfg: HairFastConfig):
     """Generator-render helper with PER-RENDER rematerialization.
 
     The PP losses render the frozen generator up to 3x at full resolution
-    (W path, F path, feature-only path); with plain grad all three renders'
-    conv activations are live simultaneously when the backward pass starts —
-    the dominant temp-HBM term at 1024² (measured 8.9 GB at B=2 f32,
-    TRAIN_r04.json). `remat=True` wraps EACH render in jax.checkpoint: the
-    forward keeps only the render's small inputs (S [B,18,512], F
-    [B,64,64,512]) and rematerializes one render at a time when its
-    cotangent arrives, so peak temp falls to ~one render's residuals for
-    ~one extra forward of generator FLOPs. Note a checkpoint around the
-    WHOLE loss cannot move peak memory — its rematerialized forward
-    re-stores every residual at once — which is why the lever sits here.
+    (W path, F path, feature-only path). `remat=True` wraps EACH render in
+    jax.checkpoint so only the render's small inputs (S [B,18,512], F
+    [B,64,64,512]) are saved and the forward is recomputed when its
+    cotangent arrives.
+
+    MEASURED INEFFECTIVE at full width (TRAIN_r04.json, v5e f32): B=2 peak
+    temp 11.61 GB with remat vs 11.73 GB without, B=1 5.76 vs 5.69 GB,
+    identical step time — XLA:TPU already runs its own HLO rematerialization
+    pass when a program exceeds the HBM budget, so the JAX-level checkpoint
+    buys nothing this toolchain hasn't done. Kept because the math is pinned
+    (tests/test_losses_train.py::test_pp_remat_and_donate_match_plain) and
+    other toolchains may not auto-remat. The lever that actually moves the
+    full-width memory wall is `compute_dtype=jnp.bfloat16` (see `pp_loss`).
     """
 
     def synth(gen, s, start_layer=0, end_layer=8, layer_in=None):
@@ -88,11 +102,29 @@ def pp_loss(
     disc_params=None,
     cfg: HairFastConfig = HairFastConfig(),
     remat: bool = False,
+    compute_dtype=None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """batch: (source norm256, target norm256, target_mask [B,256,256,1],
     HT_E [B,256,256,1]); `alpha` anneals the F injection (pp_train.py:133-137).
-    remat: per-render rematerialization (see `_make_synth`)."""
+    remat: per-render rematerialization (see `_make_synth`).
+
+    compute_dtype: standard TPU mixed precision — `jnp.bfloat16` casts the
+    trainable params, frozen nets, and batch to bf16 at loss entry, so every
+    render/backbone activation rides bf16 while the Adam master params and
+    opt state stay f32 (the per-term loss scalars are cast back to f32
+    before summing). This is the lever that actually moves the full-width
+    memory wall: f32 B=2 needs 16.9 GB total (OOM on 16 GB v5e,
+    TRAIN_r04.json) and per-render remat doesn't help because XLA already
+    remats (see `_make_synth`); halving the activation and frozen-weight
+    bytes does. Norm stats still fold in f32 internally (ops/basic.py), the
+    same bf16-weights regime the inference zoo runs (zoo.cast_zoo).
+    """
     source, target, target_mask, ht_e = batch
+    if compute_dtype is not None:
+        params = _cast_floats(params, compute_dtype)
+        frozen = _cast_floats(frozen, compute_dtype)
+        source, target, target_mask, ht_e = (
+            x.astype(compute_dtype) for x in (source, target, target_mask, ht_e))
     synth = _make_synth(remat, cfg)
 
     s, f = encoders.post_process_model(params, source, target)
@@ -143,8 +175,15 @@ def pp_loss(
                           gen_f_256 * smooth * (1 - ht_e)))
 
     if disc_params is not None:
+        if compute_dtype is not None:
+            disc_params = _cast_floats(disc_params, compute_dtype)
         losses["adv"] = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
 
+    if compute_dtype is not None:
+        # sum the per-term scalars in f32 (bf16 has ~8 bits of mantissa;
+        # the gradients are unaffected — a reduce's backward broadcast is
+        # exact regardless of the forward accumulation dtype)
+        losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
     total = sum(losses.values())
     return total, dict(losses,
                        gen_f_256=jax.lax.stop_gradient(gen_f_256),
@@ -301,7 +340,8 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
                         cfg: HairFastConfig = HairFastConfig(),
                         lr: float = 1e-4, use_adv: bool = False,
-                        remat: bool = False, donate: bool = False):
+                        remat: bool = False, donate: bool = False,
+                        compute_dtype=None):
     tx = adam_with_clip(lr)
 
     def loss_fn(params, frozen_arg, *batch_and_disc):
@@ -311,13 +351,14 @@ def make_pp_train_steps(frozen: Dict, weights=DEFAULT_WEIGHTS,
             *batch, alpha = batch_and_disc
             disc_params = None
         losses, aux = pp_loss(params, frozen_arg, tuple(batch), weights,
-                              alpha, disc_params, cfg, remat=remat)
+                              alpha, disc_params, cfg, remat=remat,
+                              compute_dtype=compute_dtype)
         return losses, aux
 
-    # remat rematerializes each frozen-generator render (W path, F path,
-    # full — see _make_synth), the dominant 1024² temp-HBM term; donate
-    # releases the old params/opt_state buffers to the new ones (callers
-    # must thread the returned state, as real training loops do).
+    # compute_dtype=jnp.bfloat16 is the full-width memory lever (see
+    # pp_loss); remat is kept but measured ineffective (see _make_synth);
+    # donate releases the old params/opt_state buffers to the new ones
+    # (callers must thread the returned state, as real training loops do).
     # frozen is a call-time argument: closed-over weights embed as HLO
     # literals (445 MB unoptimized proto at tiny config — the axon
     # remote_compile HTTP 413 root cause; tools/pp_compile_probe.py)

@@ -482,3 +482,40 @@ def test_pp_remat_and_donate_match_plain(pp_micro_setup):
     for _ in range(2):
         pd, od, ad = dstep(pd, od, *batch, alpha)
     assert np.isfinite(float(ad["loss"]))
+
+
+def test_pp_bf16_compute_dtype(pp_micro_setup):
+    """compute_dtype=bf16 (train/pp.pp_loss) is standard TPU mixed
+    precision: activations/frozen nets ride bf16, Adam master params stay
+    f32, and the loss tracks the f32 step to bf16 accumulation error. This
+    is the full-width memory lever — f32 B=2 OOMs a 16 GB v5e and remat
+    can't help because XLA already remats (TRAIN_r04.json)."""
+    from hairfastgan_tpu.train.pp import make_pp_train_steps
+
+    cfg, frozen, params, batch = pp_micro_setup
+    alpha = jnp.float32(0.7)
+    plain, _, _, tx0, _ = make_pp_train_steps(frozen, cfg=cfg)
+    mixed, _, _, tx1, _ = make_pp_train_steps(frozen, cfg=cfg,
+                                              compute_dtype=jnp.bfloat16)
+    p0, _, a0 = plain(params, tx0.init(params), *batch, alpha)
+    p1, _, a1 = mixed(params, tx1.init(params), *batch, alpha)
+
+    l0, l1 = float(a0["loss"]), float(a1["loss"])
+    assert np.isfinite(l1)
+    assert abs(l0 - l1) < 0.05 * abs(l0) + 0.05, (l0, l1)
+    # master params stay f32 and the step actually moved them the same way
+    moved = 0.0
+    n_agree = n_total = 0.0
+    for x, y, z in zip(jax.tree.leaves(params), jax.tree.leaves(p1),
+                       jax.tree.leaves(p0)):
+        if jnp.issubdtype(y.dtype, jnp.floating):
+            assert y.dtype == jnp.float32, y.dtype
+        moved += float(jnp.abs(y - x).sum())
+        # Adam's sign-ish first step: bf16 grads agree with f32 grads on
+        # direction for the overwhelming majority of coordinates. Aggregate
+        # globally — tiny near-zero-grad leaves (biases) legitimately flip
+        # under bf16 rounding and would fail a per-leaf bar.
+        n_agree += float(jnp.sum(jnp.sign(y - x) == jnp.sign(z - x)))
+        n_total += y.size
+    assert moved > 0.0
+    assert n_agree / n_total > 0.8, n_agree / n_total

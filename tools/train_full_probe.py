@@ -40,7 +40,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 OUT = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
-ALL_PROGRAMS = ("fused", "fused_remat", "split", "split_remat", "disc", "r1")
+ALL_PROGRAMS = ("fused", "fused_remat", "fused_bf16", "split", "split_remat",
+                "disc", "r1")
 
 
 # --------------------------------------------------------------------------
@@ -194,12 +195,20 @@ def run_one(name: str, b: int, n_steps: int, size: int = 1024):
 
             row = probe(r1_step, (disc_params, batches[0][0]), run_steps)
     else:
+        # fused_bf16: mixed precision — frozen nets resident in bf16
+        # (halves the ~2.5 GB argument term), activations bf16 via
+        # pp_loss(compute_dtype=), Adam master params/opt state f32
+        dt = jnp.bfloat16 if name.endswith("_bf16") else None
+        frozen_tree = {"generator": filled["zoo"]["generator"],
+                       "bisenet16": filled["bisenet16"],
+                       "id_backbone": filled["id_backbone"],
+                       "lpips": filled["lpips"]}
+        if dt is not None:
+            from hairfastgan_tpu.zoo import cast_zoo
+            frozen_tree = cast_zoo(frozen_tree, dt)
         # device-resident ONCE: numpy args would re-ship the ~2 GB frozen
         # tree through the tunnel on every compiled call
-        frozen = _stage({"generator": filled["zoo"]["generator"],
-                         "bisenet16": filled["bisenet16"],
-                         "id_backbone": filled["id_backbone"],
-                         "lpips": filled["lpips"]})
+        frozen = _stage(frozen_tree)
         params = _stage(filled["zoo"]["post_process"])
 
         def batch_at(i):
@@ -213,7 +222,8 @@ def run_one(name: str, b: int, n_steps: int, size: int = 1024):
 
         if name.startswith("fused"):
             fused, _, _, tx, _ = make_pp_train_steps(frozen, cfg=cfg,
-                                                     remat=remat, donate=True)
+                                                     remat=remat, donate=True,
+                                                     compute_dtype=dt)
             opt_state = _stage(tx.init(params))
 
             def run_steps(compiled):
