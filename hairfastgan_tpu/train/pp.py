@@ -203,7 +203,7 @@ def pp_disc_loss(disc_params, real: Array, fake: Array) -> Tuple[Array, Dict]:
 def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
                              cfg: HairFastConfig = HairFastConfig(),
                              lr: float = 1e-4, use_adv: bool = False,
-                             remat: bool = False):
+                             remat: bool = False, compute_dtype=None):
     """Segmented enc_step: the SAME update as `make_pp_train_steps`' fused
     step, computed as 3-4 smaller jitted programs plus a tiny apply program.
 
@@ -224,6 +224,17 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 
     synth = _make_synth(remat, cfg)
 
+    def _mixed(*trees):
+        """Cast float leaves to compute_dtype at segment entry (same mixed-
+        precision regime as pp_loss: bf16 activations, f32 masters — grads
+        flow back through the cast to the f32 params)."""
+        if compute_dtype is None:
+            return trees
+        return tuple(_cast_floats(t, compute_dtype) for t in trees)
+
+    def _f32(v):
+        return v.astype(jnp.float32) if compute_dtype is not None else v
+
     def _renders(params, frozen, source, target, alpha, need_w: bool):
         s, f = encoders.post_process_model(params, source, target)
         f_w, _ = synth(frozen["generator"], s, start_layer=0, end_layer=4)
@@ -236,16 +247,20 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
         return s, f, f_w, gen_w, gen_f
 
     def seg_dice(params, frozen, source, target, target_mask, ht_e, alpha):
+        params, frozen, source, target, target_mask, ht_e = _mixed(
+            params, frozen, source, target, target_mask, ht_e)
         _, _, _, _, gen_f = _renders(params, frozen, source, target, alpha, False)
         tgt512 = jnp.clip(resize((target + 1) / 2, (512, 512), "bilinear"), 0, 1)
         seg_t = jax.lax.stop_gradient(
             resize(_seg16_logits(frozen, tgt512), (256, 256), "nearest"))
         seg_g = resize(_seg16_logits(frozen, (gen_f + 1) / 2),
                        (256, 256), "nearest")
-        v = weights["landmark"] * dice_loss(seg_g, seg_t)
+        v = _f32(weights["landmark"] * dice_loss(seg_g, seg_t))
         return v, {"dice": v, "gen_f": jax.lax.stop_gradient(gen_f)}
 
     def seg_id_feat(params, frozen, source, target, target_mask, ht_e, alpha):
+        params, frozen, source, target, target_mask, ht_e = _mixed(
+            params, frozen, source, target, target_mask, ht_e)
         _, f, f_w, gen_w, gen_f = _renders(params, frozen, source, target,
                                            alpha, True)
         gen_w_256 = to_res(gen_w, 256)
@@ -257,12 +272,15 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
                       source * target_mask))
         v_fr = weights["feat_rec"] * feat_recon_loss(
             jax.lax.stop_gradient(f_w), f)
+        v_id, v_fr = _f32(v_id), _f32(v_fr)
         return v_id + v_fr, {
             "id": v_id, "feat_rec": v_fr,
             "gen_w_256": jax.lax.stop_gradient(gen_w_256),
             "gen_f_256": jax.lax.stop_gradient(gen_f_256)}
 
     def seg_lpips(params, frozen, source, target, target_mask, ht_e, alpha):
+        params, frozen, source, target, target_mask, ht_e = _mixed(
+            params, frozen, source, target, target_mask, ht_e)
         _, _, _, gen_w, gen_f = _renders(params, frozen, source, target,
                                          alpha, True)
         gen_w_256 = to_res(gen_w, 256)
@@ -283,13 +301,17 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
                 + lpips_scale(lp,
                               jax.lax.stop_gradient(gen_w_256) * smooth * (1 - ht_e),
                               gen_f_256 * smooth * (1 - ht_e)))
+        out = {k: _f32(v) for k, v in out.items()}
         return sum(out.values()), out
 
     def seg_adv(params, frozen, source, target, target_mask, ht_e, alpha,
                 disc_params):
+        params, frozen, source, target, target_mask, ht_e, disc_params = \
+            _mixed(params, frozen, source, target, target_mask, ht_e,
+                   disc_params)
         _, _, _, _, gen_f = _renders(params, frozen, source, target, alpha,
                                      False)
-        v = weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f))
+        v = _f32(weights["adv"] * adv_g_loss(discriminator(disc_params, gen_f)))
         return v, {"adv": v}
 
     # remat acts per-render inside _renders (see _make_synth) — a

@@ -49,10 +49,15 @@ def main(argv=None):
                          "the axon tunnel (HTTP 413 on the fused step); "
                          "~2x forward FLOPs, identical update")
     ap.add_argument("--remat", action="store_true",
-                    help="rematerialize the loss forward on backward "
-                         "(jax.checkpoint): trades ~1 extra forward of "
-                         "FLOPs for the 1024^2 render activations' HBM — "
-                         "use for larger per-chip batches")
+                    help="per-render jax.checkpoint; measured ineffective "
+                         "on XLA:TPU (it already auto-remats over-budget "
+                         "programs, TRAIN_r04.json) — prefer --bf16 for "
+                         "larger per-chip batches")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bf16 activations + frozen nets, "
+                         "f32 Adam masters — the measured full-width memory "
+                         "lever (f32 1024^2 fits only B=1 on a 16 GB v5e; "
+                         "TRAIN_r04.json)")
     ap.add_argument("--disc_pkl", type=Path, default=None,
                     help="NVlabs ffhq.pkl to start the adversarial phase from "
                          "the pretrained D (reference pp_train.py:59-63); "
@@ -119,9 +124,15 @@ def main(argv=None):
     frozen = replicate(plan, frozen)
     params = replicate(plan, params)
 
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if args.bf16:
+        # keep the frozen nets RESIDENT in bf16 (halves their HBM; the
+        # in-loss cast would otherwise hold both copies live)
+        from hairfastgan_tpu.zoo import cast_zoo
+        frozen = cast_zoo(frozen, jnp.bfloat16)
     enc_step, disc_step, r1_step, tx, d_tx = make_pp_train_steps(
         frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv,
-        remat=args.remat)
+        remat=args.remat, compute_dtype=compute_dtype)
     if args.split_compile:
         # same update, 3-4 smaller programs: for links that cap the
         # unoptimized-HLO upload (axon remote_compile HTTP 413)
@@ -129,7 +140,7 @@ def main(argv=None):
 
         enc_step, tx = make_pp_split_train_step(
             frozen, cfg=cfg, lr=args.lr, use_adv=args.use_adv,
-            remat=args.remat)
+            remat=args.remat, compute_dtype=compute_dtype)
     opt_state = replicate(plan, tx.init(params))
 
     disc_params = d_opt = None

@@ -519,3 +519,16 @@ def test_pp_bf16_compute_dtype(pp_micro_setup):
         n_total += y.size
     assert moved > 0.0
     assert n_agree / n_total > 0.8, n_agree / n_total
+
+    # --split_compile x --bf16: the segmented step applies the same mixed-
+    # precision regime per segment and tracks the fused bf16 loss
+    from hairfastgan_tpu.train.pp import make_pp_split_train_step
+    split, stx = make_pp_split_train_step(frozen, cfg=cfg,
+                                          compute_dtype=jnp.bfloat16)
+    ps, _, axs = split(params, stx.init(params), *batch, alpha)
+    ls = float(axs["loss"])
+    assert np.isfinite(ls)
+    assert abs(ls - l1) < 0.05 * abs(l1) + 0.05, (ls, l1)
+    for leaf in jax.tree.leaves(ps):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype

@@ -247,6 +247,12 @@ def run_one(name: str, b: int, n_steps: int, size: int = 1024):
                 if seg_name == "seg_adv":
                     continue
                 if seg_name == "apply":
+                    # apply consumes only (params, opt, grads) — release the
+                    # ~2.4 GB frozen tree + staged batches first; with them
+                    # resident the B=1 apply rung OOM'd (fragmentation after
+                    # three big segment executions, round-4 log)
+                    for leaf in jax.tree.leaves((frozen, batches)):
+                        leaf.delete()
                     zg = jax.tree.map(jnp.zeros_like, params)
                     opt0 = stx.init(params)
 
