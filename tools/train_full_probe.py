@@ -41,7 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 OUT = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
 ALL_PROGRAMS = ("fused", "fused_remat", "fused_bf16", "split", "split_remat",
-                "disc", "r1")
+                "split_bf16", "disc", "r1")
 
 
 # --------------------------------------------------------------------------
@@ -239,9 +239,10 @@ def run_one(name: str, b: int, n_steps: int, size: int = 1024):
             row = probe(fused.jitted,
                         (params, opt_state, frozen) + batches[0] + (alpha,),
                         run_steps)
-        else:  # split / split_remat: one row per segment
+        else:  # split / split_remat / split_bf16: one row per segment
             split, stx = make_pp_split_train_step(frozen, cfg=cfg,
-                                                  remat=remat)
+                                                  remat=remat,
+                                                  compute_dtype=dt)
             row = {}
             for seg_name, seg in split.segments.items():
                 if seg_name == "seg_adv":
@@ -333,7 +334,9 @@ def main():
             results = json.loads(OUT.read_text())
         except Exception:
             results = {}
-    results["config"] = {"size": args.size, "dtype": "float32",
+    results["config"] = {"size": args.size,
+                         "dtype": "float32 (*_bf16 rows: mixed precision, "
+                                  "f32 Adam masters)",
                          "ladder": args.batches,
                          "note": "each rung = fresh subprocess; per program "
                                  "the row is the LARGEST batch that stepped, "
