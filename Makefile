@@ -8,11 +8,17 @@ test:
 	@start=$$(date +%s); python -m pytest tests/ -q; rc=$$?; \
 	end=$$(date +%s); \
 	cache=$$(ls .jax_test_cache 2>/dev/null | wc -l); \
-	echo "$$(date -u +%Y-%m-%dT%H:%MZ) rc=$$rc wall_s=$$((end-start)) cache_entries=$$cache" >> SUITE_TIME.log; \
+	echo "$$(date -u +%Y-%m-%dT%H:%MZ) tier=default rc=$$rc wall_s=$$((end-start)) cache_entries=$$cache" >> SUITE_TIME.log; \
 	tail -1 SUITE_TIME.log; exit $$rc
 
+# full suite incl. @pytest.mark.slow (heavy equality/stream/CLI tests that
+# have cheaper default-tier stand-ins); logs its own SUITE_TIME line
 test-slow:
-	HAIRFAST_SLOW_TESTS=1 python -m pytest tests/ -x -q
+	@start=$$(date +%s); HAIRFAST_SLOW_TESTS=1 python -m pytest tests/ -q; rc=$$?; \
+	end=$$(date +%s); \
+	cache=$$(ls .jax_test_cache 2>/dev/null | wc -l); \
+	echo "$$(date -u +%Y-%m-%dT%H:%MZ) tier=slow rc=$$rc wall_s=$$((end-start)) cache_entries=$$cache" >> SUITE_TIME.log; \
+	tail -1 SUITE_TIME.log; exit $$rc
 
 bench:
 	python bench.py

@@ -62,7 +62,7 @@ def _seg16_logits(frozen, img01: Array) -> Array:
     return bisenet.bisenet_logits(frozen["bisenet16"], bisenet.to_bisenet_input(x))
 
 
-def _make_synth(remat: bool, cfg: HairFastConfig):
+def _make_synth(remat: bool, cfg: HairFastConfig, dtype=jnp.float32):
     """Generator-render helper with PER-RENDER rematerialization.
 
     The PP losses render the frozen generator up to 3x at full resolution
@@ -83,9 +83,14 @@ def _make_synth(remat: bool, cfg: HairFastConfig):
 
     def synth(gen, s, start_layer=0, end_layer=8, layer_in=None):
         def f(gen, s, layer_in):
+            # dtype must follow compute_dtype: synthesis() force-casts the
+            # latent/const input to its dtype arg, so leaving the default
+            # f32 here silently upcast all three full-res renders — the
+            # dominant activations — and erased the bf16 temp-HBM win
+            # (fused_bf16 B=2 temp 11.06 GB ≈ f32's 11.73, TRAIN_r05.json)
             return stylegan2.synthesis(gen, s, start_layer=start_layer,
                                        end_layer=end_layer, layer_in=layer_in,
-                                       cfg=cfg.stylegan)
+                                       cfg=cfg.stylegan, dtype=dtype)
 
         return jax.checkpoint(f)(gen, s, layer_in) if remat \
             else f(gen, s, layer_in)
@@ -125,7 +130,7 @@ def pp_loss(
         frozen = _cast_floats(frozen, compute_dtype)
         source, target, target_mask, ht_e = (
             x.astype(compute_dtype) for x in (source, target, target_mask, ht_e))
-    synth = _make_synth(remat, cfg)
+    synth = _make_synth(remat, cfg, dtype=compute_dtype or jnp.float32)
 
     s, f = encoders.post_process_model(params, source, target)
 
@@ -222,7 +227,7 @@ def make_pp_split_train_step(frozen: Dict, weights=DEFAULT_WEIGHTS,
 
     tx = adam_with_clip(lr)
 
-    synth = _make_synth(remat, cfg)
+    synth = _make_synth(remat, cfg, dtype=compute_dtype or jnp.float32)
 
     def _mixed(*trees):
         """Cast float leaves to compute_dtype at segment entry (same mixed-

@@ -83,6 +83,11 @@ def main(argv=None):
     ap.add_argument("--log", type=Path, default=Path("pp_train.jsonl"))
     ap.add_argument("--tiny", action="store_true",
                     help="128-res random-weight config (CI smoke runs)")
+    ap.add_argument("--micro", action="store_true",
+                    help="128-res config with 0.25x trunk widths "
+                         "(zoo.init_micro_zoo): exercises the full CLI "
+                         "plumbing at a fraction of --tiny's CPU cost; "
+                         "program STRUCTURE only, never numerics")
     args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
@@ -97,7 +102,13 @@ def main(argv=None):
     from hairfastgan_tpu.zoo import init_zoo, load_zoo
 
     key = jax.random.PRNGKey(0)
-    if args.tiny:
+    trunk_width = 1.0
+    if args.micro:
+        from hairfastgan_tpu.zoo import init_micro_zoo
+
+        zoo, cfg = init_micro_zoo(key)
+        trunk_width = 0.25  # frozen loss nets match the micro zoo's scale
+    elif args.tiny:
         from hairfastgan_tpu.zoo import init_tiny_zoo
 
         zoo, cfg = init_tiny_zoo(key)
@@ -110,8 +121,9 @@ def main(argv=None):
     # init (pipeline-shape-correct, for dry runs).
     frozen = {
         "generator": zoo["generator"],
-        "bisenet16": bisenet.init_bisenet(key, n_classes=16),
-        "id_backbone": init_irse_backbone(key),
+        "bisenet16": bisenet.init_bisenet(key, n_classes=16,
+                                          width=trunk_width),
+        "id_backbone": init_irse_backbone(key, width=trunk_width),
         "lpips": init_lpips_alex(key),
     }
     params = zoo["post_process"]

@@ -124,6 +124,7 @@ def test_swap_save_all_dumps(hf):
     assert z["latent_F_align"].shape[-1] == 512
 
 
+@pytest.mark.slow  # 99 s: test_aux_utils orbax roundtrips stay default; this adds the HairFast-__init__ restore path
 def test_zoo_orbax_roundtrip(hf, tmp_path):
     """convert_checkpoints writes <dir>/zoo (orbax); HairFast must restore it
     via load_zoo's fast path and produce the identical parameter tree."""
@@ -143,6 +144,7 @@ def test_zoo_orbax_roundtrip(hf, tmp_path):
     assert len(leaves) == len(jax.tree.leaves(hf.zoo))
 
 
+@pytest.mark.slow  # 54 s: ops/poisson golden + composite unit tests stay default; this is the API-flag plumbing
 def test_swap_poisson_flag(hf):
     """swap(poisson=True) runs the on-device final composite end-to-end:
     parse -> hair-union dilate -> multigrid clone of the original photo."""
@@ -186,6 +188,7 @@ def test_swap_uint8_chw_coercion(hf):
     assert out.shape == (size, size, 3)
 
 
+@pytest.mark.slow  # 124 s: the distinct-case sharded golden in test_mesh_equivalence stays default
 def test_swap_batch_sharded(hf):
     """Always-on composed-product mesh proof: swap_batch shards B=8 over the
     8 virtual devices and runs Embedding->Align->Blend->PostProcess under the
@@ -248,6 +251,7 @@ def test_swap_batch_chunking(hf):
     np.testing.assert_allclose(out[4:5], np.asarray(direct), atol=1e-5)
 
 
+@pytest.mark.slow  # 250 s: B=1/B=2 agreement + PIL-fallback bit-parity over 3 dispatch shapes
 def test_swap_stream(hf, tmp_path):
     from PIL import Image
 
@@ -290,6 +294,7 @@ def test_swap_stream(hf, tmp_path):
         np.testing.assert_allclose(micro[i], solo[i], atol=2e-4)
 
 
+@pytest.mark.slow  # 159 s: 6-triple grouping; default tier runs the trimmed bad-decode test below
 def test_swap_stream_skips_bad_decode(hf, tmp_path):
     """One corrupt jpeg among 6 triples: the stream yields 5 results and
     one (i, None) error marker — it must NOT abort in-flight work
@@ -338,3 +343,35 @@ def test_swap_stream_skips_bad_decode(hf, tmp_path):
         nl.native_available = orig
     assert fb[0] is None
     assert fb[1].shape == (size, size, 3)
+
+
+def test_swap_stream_bad_decode_default(hf, tmp_path):
+    """Default-tier stream-resilience coverage (the two full stream tests
+    above are slow-tier): 4 triples at batch=2 with one corrupt jpeg —
+    group (2,3) loses triple 2 to the bad decode, triple 3's padded
+    dispatch still delivers, and the stream yields (2, None) instead of
+    aborting in-flight work (reference data paths drop bad rows,
+    scripts/blending_train.py:181-217)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(11)
+    size = hf.cfg.stylegan.size
+    paths = []
+    for i in range(3):
+        arr = rng.randint(0, 255, (size, size, 3), np.uint8)
+        p = tmp_path / f"d{i}.png"
+        Image.fromarray(arr).save(str(p))
+        paths.append(str(p))
+    corrupt = tmp_path / "bad.jpg"
+    corrupt.write_bytes(b"\xff\xd8 this is not a jpeg")
+    triples = [(paths[0], paths[1], paths[2]),
+               (paths[2], paths[0], paths[1]),
+               (paths[1], str(corrupt), paths[0]),  # shape fails to decode
+               (paths[0], paths[2], paths[1])]
+    with pytest.warns(UserWarning):
+        results = dict(hf.swap_stream(triples, batch=2))
+    assert sorted(results) == [0, 1, 2, 3]
+    assert results[2] is None
+    for i in (0, 1, 3):
+        assert results[i].shape == (size, size, 3)
+        assert np.isfinite(results[i]).all()

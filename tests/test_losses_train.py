@@ -145,6 +145,7 @@ def pp_micro_setup():
     return cfg, frozen, params, batch
 
 
+@pytest.mark.slow  # 143 s: 4-step fused==split trajectory; the split path is also dryrun phase 5
 def test_pp_split_step_matches_fused(pp_micro_setup):
     """--split_compile's segmented enc_step (grad of a sum = sum of grads,
     3 programs + apply) must produce the SAME update as the fused step —
@@ -430,6 +431,7 @@ def test_blending_overfit_smoke():
     assert losses[-1] < 0.6 * losses[0], losses
 
 
+@pytest.mark.slow  # 75 s: rotate/blending overfit smokes stay default; pp step coverage stays via bf16/adv tests
 def test_pp_overfit_smoke(pp_micro_setup):
     """PP descent on a fixed 2-row batch, micro-width trunks.
 
@@ -458,6 +460,7 @@ def test_pp_overfit_smoke(pp_micro_setup):
     assert losses[-1] <= min(losses) + 1e-3, losses   # ...and held (no blowup)
 
 
+@pytest.mark.slow  # 90 s: remat is measured-ineffective on TPU (TRAIN_r04) — equality kept as slow-tier regression
 def test_pp_remat_and_donate_match_plain(pp_micro_setup):
     """remat=True (per-render jax.checkpoint, train/pp._make_synth — the
     HBM lever for full-width 1024² training, TRAIN_r04.json) must be pure
@@ -478,10 +481,39 @@ def test_pp_remat_and_donate_match_plain(pp_micro_setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
 
     dstep, _, _, txd, _ = make_pp_train_steps(frozen, cfg=cfg, donate=True)
-    pd, od = params, txd.init(params)
+    # donate COPIES: donating the module-scoped fixture's own buffers deletes
+    # them for every later test in the module (this exact aliasing made
+    # test_pp_bf16_compute_dtype fail suite-order-dependently, SUITE_TIME r4)
+    pd = jax.tree.map(jnp.array, params)
+    od = txd.init(pd)
     for _ in range(2):
         pd, od, ad = dstep(pd, od, *batch, alpha)
     assert np.isfinite(float(ad["loss"]))
+
+
+def test_pp_adversarial_d_steps(pp_micro_setup):
+    """Default-tier adversarial wiring coverage (the end-to-end CLI
+    adversarial epochs are slow-tier): disc_step must move the
+    discriminator against (real, fake) pairs and r1_step must return the
+    positive lazy-R1 penalty — the D side of pp_train.py:121-183."""
+    from hairfastgan_tpu.models.stylegan2_discriminator import (
+        init_discriminator)
+    from hairfastgan_tpu.train.pp import make_pp_train_steps
+
+    cfg, _, _, _ = pp_micro_setup
+    _, disc_step, r1_step, _, d_tx = make_pp_train_steps(
+        {}, cfg=cfg, use_adv=True)
+    disc = init_discriminator(jax.random.PRNGKey(2), cfg.stylegan)
+    size = cfg.stylegan.size
+    rng = np.random.RandomState(5)
+    real = jnp.asarray(rng.randn(2, size, size, 3), jnp.float32) * 0.3
+    fake = jnp.asarray(rng.randn(2, size, size, 3), jnp.float32) * 0.3
+    d1, _, aux = disc_step(disc, d_tx.init(disc), real, fake)
+    assert np.isfinite(float(aux["loss"]))
+    moved = [float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(disc), jax.tree.leaves(d1))]
+    assert max(moved) > 0
+    assert float(r1_step(disc, real)) > 0.0
 
 
 def test_pp_bf16_compute_dtype(pp_micro_setup):

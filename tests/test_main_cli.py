@@ -56,6 +56,7 @@ def test_main_cli_single(triple_file):
     assert Image.open(pngs[0]).size == (128, 128)
 
 
+@pytest.mark.slow  # 107 s: case-grouping logic; test_main_cli_single keeps the CLI default-covered
 def test_main_cli_batch_groups_cases(triple_file):
     """--batch groups triples by dedup case: an all-equal triple must run
     the 'same' program, not 'distinct' on equal inputs."""

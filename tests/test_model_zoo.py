@@ -68,6 +68,7 @@ def test_e4e_delta_structure():
     np.testing.assert_allclose(np.asarray(w_avg), np.asarray(w_with) + 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow  # 44 s: packed heads are a measured-slower opt-in
 def test_e4e_packed_heads_match_unpacked():
     """pack_style_heads is an exact re-layout: grouped-conv chains must
     reproduce the per-head loop bit-for-bit math (both encode variants)."""
@@ -82,6 +83,7 @@ def test_e4e_packed_heads_match_unpacked():
         np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.slow  # 33 s: packed SEAN is a measured-slower opt-in
 def test_sean_packed_matches_unpacked():
     """pack_sean (stacked fc_mu + fused gamma/beta convs) is exact."""
     p = sean.init_sean_generator(KEY, ngf=16)

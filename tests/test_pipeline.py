@@ -82,6 +82,7 @@ def test_hair_fast_cases(tiny, images, case):
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+@pytest.mark.slow  # 36 s: pair_shape_modules is a measured-slower opt-in
 def test_shape_module_pair_matches_two_calls(tiny, images):
     """Batched dual shape module == two sequential shape_module calls (exact:
     render/segment/adaptor are batch-independent; the face path is shared)."""
@@ -110,6 +111,7 @@ def test_shape_module_pair_matches_two_calls(tiny, images):
             assert (a == b).mean() > 0.999, k
 
 
+@pytest.mark.slow  # 107 s: pack_zoo is a measured-slower opt-in (CLAUDE.md); equality kept as slow-tier regression
 def test_hair_fast_packed_zoo_matches(tiny, images):
     """pack_zoo (inference weight re-layout) leaves the composed pipeline
     output numerically unchanged (tolerance covers matmul-order drift)."""
@@ -155,6 +157,7 @@ def test_swap_cases_face_eq_color(images):
     assert swap_cases(face, shape, face) == "face_eq_color"
 
 
+@pytest.mark.slow  # 73 s: per-generator row-ABI tests in test_train_cli stay default
 def test_datagen_rows_feed_trainers(tiny, images):
     """Dataset generators -> training losses, chained: the blending row
     drives blending_loss, the pp row drives pp_loss — catches any

@@ -175,6 +175,7 @@ def _make_pp_rows(tmp_path, gen_size=128):
     return data
 
 
+@pytest.mark.slow  # 616 s: tiny-width adversarial epoch; test_pp_cli_micro_adversarial keeps the CLI default-covered
 def test_pp_cli_tiny_adversarial(tmp_path, capsys):
     """Two --tiny epochs with --use_adv --iter_before 1: step 0 runs the
     warm-up (disc=None) trace, step 1 the adversarial trace + D update + R1
@@ -186,6 +187,32 @@ def test_pp_cli_tiny_adversarial(tmp_path, capsys):
     log = tmp_path / "log.jsonl"
     main(["--data_dir", str(data), "--zoo_dir", str(tmp_path / "nozoo"),
           "--tiny", "--use_adv", "--iter_before", "1", "--d_reg_every", "1",
+          "--epochs", "2", "--batch_size", "2", "--test_frac", "0.5",
+          "--ckpt_dir", str(tmp_path / "ckpt"),
+          "--grid_dir", str(tmp_path / "grids"), "--log", str(log)])
+    assert "RANDOM discriminator" in capsys.readouterr().out  # no ffhq.pkl
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert list((tmp_path / "grids").glob("epoch_*.png"))
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert any("val_loss" in rec for rec in recs)
+    assert any("disc_adv" in rec for rec in recs)  # D actually stepped
+    assert any("r1" in rec for rec in recs)
+
+
+def test_pp_cli_micro_adversarial(tmp_path, capsys):
+    """Default-tier stand-in for test_pp_cli_tiny_adversarial (616 s of
+    suite wall at tiny widths): the same two-epoch adversarial flow —
+    warm-up trace, D update, lazy R1, val/grids/checkpoints — through
+    `--micro` (0.25x trunk widths). Asserts CLI plumbing and program
+    structure only; step NUMERICS are covered by the pp_micro_setup tests
+    and the real-width TPU probe (TRAIN_r05.json)."""
+    from scripts.train_pp import main
+
+    data = _make_pp_rows(tmp_path)
+    log = tmp_path / "log.jsonl"
+    main(["--data_dir", str(data), "--zoo_dir", str(tmp_path / "nozoo"),
+          "--micro", "--use_adv", "--iter_before", "1", "--d_reg_every", "1",
           "--epochs", "2", "--batch_size", "2", "--test_frac", "0.5",
           "--ckpt_dir", str(tmp_path / "ckpt"),
           "--grid_dir", str(tmp_path / "grids"), "--log", str(log)])

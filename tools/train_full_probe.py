@@ -39,7 +39,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
+_ROOT = Path(__file__).resolve().parent.parent
+OUT = _ROOT / "TRAIN_r05.json"
+_PREV = _ROOT / "TRAIN_r04.json"  # seed for resume: round-4 rows carry over
 ALL_PROGRAMS = ("fused", "fused_remat", "fused_bf16", "split", "split_remat",
                 "split_bf16", "disc", "r1")
 
@@ -284,6 +286,10 @@ def run_one(name: str, b: int, n_steps: int, size: int = 1024):
                 row[seg_name] = seg_row
 
     row["batch"] = b
+    # dtype is knowable from the program name — record it per row (a global
+    # config string claimed bf16 even for all-f32 artifacts; ADVICE r4)
+    row["dtype"] = ("bf16 mixed precision, f32 Adam masters"
+                    if name.endswith("_bf16") else "float32")
     print("RESULT " + json.dumps(row), flush=True)
     return row
 
@@ -329,14 +335,19 @@ def main():
         return
 
     results = {}
-    if OUT.exists():  # resume: keep earlier rungs, re-run requested programs
+    src = OUT if OUT.exists() else _PREV
+    if src.exists():  # resume: keep earlier rungs, re-run requested programs
         try:
-            results = json.loads(OUT.read_text())
+            results = json.loads(src.read_text())
         except Exception:
             results = {}
+        for name, row in results.items():  # backfill dtype on seeded rows
+            if isinstance(row, dict) and name != "config" \
+                    and "dtype" not in row:
+                row["dtype"] = ("bf16 mixed precision, f32 Adam masters"
+                                if name.endswith("_bf16") else "float32")
     results["config"] = {"size": args.size,
-                         "dtype": "float32 (*_bf16 rows: mixed precision, "
-                                  "f32 Adam masters)",
+                         "dtype": "per program row (see each row's 'dtype')",
                          "ladder": args.batches,
                          "note": "each rung = fresh subprocess; per program "
                                  "the row is the LARGEST batch that stepped, "
