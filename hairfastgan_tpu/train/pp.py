@@ -121,8 +121,10 @@ def pp_loss(
     memory wall: f32 B=2 needs 16.9 GB total (OOM on 16 GB v5e,
     TRAIN_r04.json) and per-render remat doesn't help because XLA already
     remats (see `_make_synth`); halving the activation and frozen-weight
-    bytes does. Norm stats still fold in f32 internally (ops/basic.py), the
-    same bf16-weights regime the inference zoo runs (zoo.cast_zoo).
+    bytes does — measured on v5e (TRAIN_r05.json): bf16 B=2 fits at
+    temp 6.69 GB and steps at 0.25 s. Norm stats still fold in f32
+    internally (ops/basic.py), the same bf16-weights regime the inference
+    zoo runs (zoo.cast_zoo).
     """
     source, target, target_mask, ht_e = batch
     if compute_dtype is not None:

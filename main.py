@@ -19,15 +19,22 @@ from hairfastgan_tpu.utils.images import save_image01, to_image_array
 
 
 def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
-    if getattr(args, "tiny", False):
-        # 128-res random-weight smoke config (CI runs the CLI end-to-end)
+    if getattr(args, "tiny", False) or getattr(args, "micro", False):
+        # 128-res random-weight smoke configs (CI runs the CLI end-to-end);
+        # --micro additionally scales trunk widths 0.25x (program structure
+        # only — a fraction of --tiny's CPU execution cost)
         import dataclasses
 
         import jax
 
-        from hairfastgan_tpu.zoo import init_tiny_zoo
+        if args.micro:
+            from hairfastgan_tpu.zoo import init_micro_zoo_fast
 
-        zoo, cfg = init_tiny_zoo(jax.random.PRNGKey(0))
+            zoo, cfg = init_micro_zoo_fast(0)
+        else:
+            from hairfastgan_tpu.zoo import init_tiny_zoo
+
+            zoo, cfg = init_tiny_zoo(jax.random.PRNGKey(0))
         cfg = dataclasses.replace(cfg, compute_dtype="float32",
                                   compile_cache_dir=None)
         hair_fast = HairFast(cfg, zoo=zoo)
@@ -135,6 +142,9 @@ if __name__ == "__main__":
                         help="triples per device batch (TPU throughput mode)")
     parser.add_argument("--tiny", action="store_true",
                         help="128-res random-weight config (CI smoke runs)")
+    parser.add_argument("--micro", action="store_true",
+                        help="--tiny with 0.25x trunk widths (cheapest CI "
+                             "smoke; program structure only)")
     parser.add_argument("--align", action="store_true",
                         help="FFHQ-align in-the-wild photos first (STAR "
                              "on-device landmarks when star_wflw.pth is in "

@@ -45,14 +45,21 @@ def main(argv=None):
                          "trainer must then also run with --no_keypoints")
     ap.add_argument("--tiny", action="store_true",
                     help="128-res random-weight config (CI smoke runs)")
+    ap.add_argument("--micro", action="store_true",
+                    help="--tiny with 0.25x trunk widths (cheapest CI "
+                         "smoke; W rows stay [n_latent, 512] — style dim "
+                         "is width-independent)")
     args = ap.parse_args(argv)
 
     from hairfastgan_tpu.config import HairFastConfig
     from hairfastgan_tpu.train.datagen import generate_rotate_pair
     from hairfastgan_tpu.utils.images import to_image_array
-    from hairfastgan_tpu.zoo import init_tiny_zoo, init_zoo, load_zoo
+    from hairfastgan_tpu.zoo import (init_micro_zoo_fast, init_tiny_zoo,
+                                     init_zoo, load_zoo)
 
-    if args.tiny:
+    if args.micro:
+        zoo, cfg = init_micro_zoo_fast(0)
+    elif args.tiny:
         zoo, cfg = init_tiny_zoo(jax.random.PRNGKey(0))
     else:
         cfg = HairFastConfig()

@@ -30,7 +30,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # 1 s (was 5): on this 1-core host the suite compiles hundreds of 1-5 s
+    # programs; caching them cut the warm default tier by minutes
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass  # older jax without the persistent cache: cold compiles only
 

@@ -1,4 +1,11 @@
-"""HairFast API surface tests (tiny zoo, CPU)."""
+"""HairFast API surface tests (micro zoo, CPU).
+
+Everything here asserts BEHAVIOR — coercion, dedup, serving knobs, stream
+grouping, artifact dumps — never numerics against the reference, so the
+fixture runs the micro zoo (0.25x trunk widths, numpy-fast init): same
+program structure, a fraction of the tiny zoo's 1-core execution cost
+(the structural-width lock lives in tests/test_pipeline.py's embed
+contract, which stays on init_tiny_zoo)."""
 
 import dataclasses
 
@@ -7,14 +14,14 @@ import numpy as np
 import pytest
 
 from hairfastgan_tpu.api import HairFast, config_from_args, get_parser
-from hairfastgan_tpu.zoo import init_tiny_zoo
+from hairfastgan_tpu.zoo import init_micro_zoo_fast
 
 KEY = jax.random.PRNGKey(0)
 
 
 @pytest.fixture(scope="module")
 def hf(tmp_path_factory):
-    zoo, cfg = init_tiny_zoo(KEY)
+    zoo, cfg = init_micro_zoo_fast(0)
     cfg = dataclasses.replace(cfg, save_all=True,
                               save_all_dir=tmp_path_factory.mktemp("out"),
                               compute_dtype="float32")
@@ -121,7 +128,9 @@ def test_swap_save_all_dumps(hf):
     assert (d / "Blending" / "blending.png").exists()
     assert (d / "FS" / "face.npz").exists()
     z = np.load(d / "Align" / "align.npz")
-    assert z["latent_F_align"].shape[-1] == 512
+    # F width follows the zoo config (512 at real/tiny widths; the micro
+    # fixture scales it — the absolute-width lock is test_embed_contract)
+    assert z["latent_F_align"].shape[-1] == hf.cfg.stylegan.channels(32)
 
 
 @pytest.mark.slow  # 99 s: test_aux_utils orbax roundtrips stay default; this adds the HairFast-__init__ restore path

@@ -43,7 +43,7 @@ def test_main_cli_single(triple_file):
     d, _ = triple_file
     out = d / "out_single"
     r = subprocess.run(
-        [sys.executable, "main.py", "--tiny",
+        [sys.executable, "main.py", "--micro",
          "--face_path", "a.png", "--shape_path", "a.png",
          "--color_path", "a.png", "--input_dir", str(d),
          "--output_dir", str(out)],

@@ -132,6 +132,7 @@ def test_label_permutation_is_bijection():
     assert perm[13] == 17  # celeba hair=13 comes from raw hair=17
 
 
+@pytest.mark.slow  # 50 s: SEAN encode/decode numerics are locked by the reference-import parity tests, which stay default
 def test_sean_roundtrip_shapes():
     p = sean.init_sean_generator(KEY)
     img = jax.random.normal(KEY, (2, 256, 256, 3)) * 0.1

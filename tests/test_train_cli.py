@@ -89,8 +89,10 @@ def test_rotate_cli_tiny_epoch(tmp_path):
 
 
 def test_gen_rotate_data_tiny(tmp_path):
-    """gen_rotate_data --tiny emits pose/hair rows the trainer can consume
-    (reference rotate_gen.py analog; kp zeros under --no_keypoints)."""
+    """gen_rotate_data --micro emits pose/hair rows the trainer can consume
+    (reference rotate_gen.py analog; kp zeros under --no_keypoints). Row
+    ABI is width-independent (W rows [n_latent, 512] at any trunk width),
+    so the cheapest config exercises it."""
     from PIL import Image
 
     from scripts.gen_rotate_data import main
@@ -104,7 +106,7 @@ def test_gen_rotate_data_tiny(tmp_path):
     pose, hair = tmp_path / "pose", tmp_path / "hair"
     main(["--input_dir", str(inp), "--n_pairs", "3",
           "--pose_dir", str(pose), "--hair_dir", str(hair),
-          "--zoo_dir", str(tmp_path / "nozoo"), "--tiny", "--no_keypoints"])
+          "--zoo_dir", str(tmp_path / "nozoo"), "--micro", "--no_keypoints"])
     pose_rows = sorted(pose.glob("*.npz"))
     hair_rows = sorted(hair.glob("*.npz"))
     assert len(pose_rows) == 3 and len(hair_rows) == 3
@@ -214,12 +216,12 @@ def test_pp_cli_micro_adversarial(tmp_path, capsys):
     main(["--data_dir", str(data), "--zoo_dir", str(tmp_path / "nozoo"),
           "--micro", "--use_adv", "--iter_before", "1", "--d_reg_every", "1",
           "--epochs", "2", "--batch_size", "2", "--test_frac", "0.5",
-          "--ckpt_dir", str(tmp_path / "ckpt"),
-          "--grid_dir", str(tmp_path / "grids"), "--log", str(log)])
+          "--ckpt_dir", str(tmp_path / "ckpt"), "--log", str(log)])
+    # (no --grid_dir: the grid render programs are the tiny test's job —
+    # this stand-in buys the adversarial train-loop coverage cheaply)
     assert "RANDOM discriminator" in capsys.readouterr().out  # no ffhq.pkl
     assert (tmp_path / "ckpt" / "last").exists()
     assert (tmp_path / "ckpt" / "best").exists()
-    assert list((tmp_path / "grids").glob("epoch_*.png"))
     recs = [json.loads(l) for l in log.read_text().splitlines()]
     assert any("val_loss" in rec for rec in recs)
     assert any("disc_adv" in rec for rec in recs)  # D actually stepped

@@ -13,14 +13,15 @@ adversarial discriminator + lazy R1) and records, per program:
   memory      XLA memory analysis of the compiled executable (argument /
               output / temp bytes — temp is the activation HBM the remat
               flag exists to shrink; see train/pp._make_synth)
-Results land in TRAIN_r04.json at the repo root (the committed artifact).
+Results land in TRAIN_r05.json at the repo root (the committed artifact;
+seeded from TRAIN_r04.json's rows on first run).
 
 Isolation: every (program, batch) rung runs in its OWN subprocess
 (`--one name:b`). A single process accumulates device state across rungs —
 measured: after the fused B=2 executable OOM'd, even optimizer INIT at B=1
 hit RESOURCE_EXHAUSTED, poisoning the rest of the ladder. The orchestrator
 (default mode) descends the batch ladder per program, merges each rung's
-RESULT line into TRAIN_r04.json immediately (a killed run still leaves the
+RESULT line into TRAIN_r05.json immediately (a killed run still leaves the
 artifact), and stops the ladder at the first batch that steps successfully.
 
 Usage (TPU host; expect ~1 h cold, the persistent cache covers reruns):
