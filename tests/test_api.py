@@ -300,7 +300,10 @@ def test_swap_stream(hf, tmp_path):
     micro = dict(hf.swap_stream(triples3, batch=2))
     assert sorted(micro) == [0, 1, 2]
     for i in solo:
-        np.testing.assert_allclose(micro[i], solo[i], atol=2e-4)
+        # batch independence is exact math; the tolerance absorbs XLA
+        # reduction-order skew, which grew past the tiny-zoo-era 2e-4 when
+        # this module moved to micro widths (measured max 3.9e-4)
+        np.testing.assert_allclose(micro[i], solo[i], atol=5e-4)
 
 
 @pytest.mark.slow  # 159 s: 6-triple grouping; default tier runs the trimmed bad-decode test below
