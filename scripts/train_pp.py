@@ -104,9 +104,11 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     trunk_width = 1.0
     if args.micro:
-        from hairfastgan_tpu.zoo import init_micro_zoo
+        # numpy-fast init like main.py/gen_rotate_data --micro (jax.random
+        # init costs ~minutes of tiny dispatches on a 1-core host)
+        from hairfastgan_tpu.zoo import init_micro_zoo_fast
 
-        zoo, cfg = init_micro_zoo(key)
+        zoo, cfg = init_micro_zoo_fast(0)
         trunk_width = 0.25  # frozen loss nets match the micro zoo's scale
     elif args.tiny:
         from hairfastgan_tpu.zoo import init_tiny_zoo
