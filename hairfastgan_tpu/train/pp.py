@@ -15,7 +15,7 @@ lpips_scale/inpaint/adv).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

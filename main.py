@@ -9,13 +9,12 @@ for TPU throughput instead of the reference's sequential python loop.
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 import numpy as np
 
 from hairfastgan_tpu.api import HairFast, config_from_args, get_parser
-from hairfastgan_tpu.utils.images import save_image01, to_image_array
+from hairfastgan_tpu.utils.images import save_image01
 
 
 def main(model_args: argparse.Namespace, args: argparse.Namespace) -> None:
