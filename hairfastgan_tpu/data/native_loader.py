@@ -54,6 +54,13 @@ def _load_lib():
     lib.hfl_load_one_u8.restype = ctypes.c_int
     lib.hfl_load_one_u8.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_ubyte)]
+    try:  # round-5 ABI addition; absent from older prebuilt .so files
+        lib.hfl_resize_u8.argtypes = [ctypes.POINTER(ctypes.c_ubyte),
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_ubyte)]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -91,6 +98,35 @@ def load_image_native_u8(path: str, out_size: int = 1024) -> np.ndarray:
     if not ok:
         raise IOError(f"native decode failed for {path}")
     return out
+
+
+def resize_u8_native(img: np.ndarray, out_size: int) -> np.ndarray:
+    """[H,W,3] uint8 -> [out_size,out_size,3] uint8, Keys a=-0.75 bicubic.
+
+    The in-memory twin of `load_image_native_u8`'s resize stage, for the
+    serving `upload_res` coercion (utils/images.to_image_u8): same
+    separable kernel as the on-device resampler (ops/resample.resize
+    bicubic), where the PIL fallback substitutes LANCZOS. Raises if the
+    loaded .so predates the hfl_resize_u8 ABI addition — callers gate on
+    `resize_u8_available()`.
+    """
+    lib = _load_lib()
+    img = np.ascontiguousarray(img)
+    out = np.empty((out_size, out_size, 3), np.uint8)
+    ok = lib.hfl_resize_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        img.shape[0], img.shape[1], out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if not ok:
+        raise IOError("native resize failed")
+    return out
+
+
+def resize_u8_available() -> bool:
+    try:
+        return hasattr(_load_lib(), "hfl_resize_u8")
+    except Exception:
+        return False
 
 
 class NativeImageLoader:

@@ -19,6 +19,8 @@
 //   void  hfl_destroy(void* h);
 //   int   hfl_load_one(const char* path, int out_size, float* out);
 //   int   hfl_load_one_u8(const char* path, int out_size, unsigned char* out);
+//   int   hfl_resize_u8(const unsigned char* in, int in_h, int in_w,
+//                       int out_size, unsigned char* out);  // in-memory
 //
 // The uint8 format exists for the serving path: the device normalizes
 // uint8 inputs itself (pipeline/embedding.py), so shipping u8 moves 4x
@@ -348,6 +350,22 @@ int hfl_load_one(const char* path, int out_size, float* out) {
 int hfl_load_one_u8(const char* path, int out_size, unsigned char* out) {
   Image im;
   if (!decode_file(path, &im)) return 0;
+  resize_to_u8(im, out_size, out);
+  return 1;
+}
+
+// In-memory HWC uint8 resize (the serving upload_res coercion hot path:
+// utils/images.to_image_u8). Same Keys a=-0.75 separable kernel as the
+// on-device resampler, so host-coerced inputs track the device bicubic
+// where PIL's LANCZOS fallback substitutes a different filter.
+int hfl_resize_u8(const unsigned char* in, int in_h, int in_w, int out_size,
+                  unsigned char* out) {
+  if (in_h <= 0 || in_w <= 0 || out_size <= 0) return 0;
+  Image im;
+  im.w = in_w;
+  im.h = in_h;
+  im.c = 3;
+  im.data.assign(in, in + size_t(in_h) * in_w * 3);
   resize_to_u8(im, out_size, out);
   return 1;
 }

@@ -121,3 +121,28 @@ def test_loader_early_close(image_files):
     it = iter(loader)
     next(it)
     loader.close()  # workers joined with items still queued
+
+
+def test_resize_u8_matches_device_bicubic():
+    """hfl_resize_u8 (the upload_res serving coerce, round 5) uses the SAME
+    Keys a=-0.75 separable kernel as the on-device resampler — quantized
+    agreement within 1 u8 step (PIL LANCZOS, the fallback, is a different
+    filter: measured up to 134/255 off the device bicubic)."""
+    import jax.numpy as jnp
+
+    from hairfastgan_tpu.data.native_loader import (resize_u8_available,
+                                                    resize_u8_native)
+    from hairfastgan_tpu.ops.resample import resize
+
+    if not resize_u8_available():
+        pytest.skip("native lib predates hfl_resize_u8")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    nat = resize_u8_native(img, 64)
+    dev = np.asarray(resize(jnp.asarray(img[None], jnp.float32) / 255.0,
+                            (64, 64), "bicubic"))[0]
+    dev_u8 = np.clip(dev * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    assert np.abs(nat.astype(int) - dev_u8.astype(int)).max() <= 1
+    # upscale path stays in-bounds and right-shaped too
+    up = resize_u8_native(img[:64, :64], 128)
+    assert up.shape == (128, 128, 3) and up.dtype == np.uint8
