@@ -207,10 +207,11 @@ class HairFast:
         working spaces — BiSeNet parses at 512 and every encoder at 256
         (reference Embedding.py:56-118 downsamples exactly the same way) —
         so the change is WHERE the first 2x downsample runs AND WHICH
-        filter performs it: host LANCZOS + uint8 re-quantization replaces
-        the on-device bicubic FIR (and the FSE path's first bilinear
-        halving); scripts/upload_res_agreement.py measures the numerics
-        cost of that substitution. Output stays at the full generator
+        filter performs it: with the native loader built, the host resize
+        is the SAME Keys a=-0.75 bicubic as the device resampler (<=1 u8
+        step apart, native/hf_loader.cpp hfl_resize_u8); the PIL fallback
+        substitutes LANCZOS + uint8 re-quantization.
+        scripts/upload_res_agreement.py measures the numerics cost. Output stays at the full generator
         resolution. Serving through a bandwidth-limited link is
         upload-bound, so this is the serving latency lever (see bench.py's
         serving metrics); leave None for byte-exact parity with the
