@@ -21,11 +21,18 @@ worst case no photo exhibits. Run on the TPU:
     python -m scripts.upload_res_agreement
 
 Measured (v5e, n=64, smooth fields, scaled-random BiSeNet):
-  seg_agreement 0.9898 (0.9889 on non-modal pixels), hair_iou 0.948,
-  e4e_in_rmse 0.00207, fse_in_rmse 0.00200 — the encoder-input RMSE is
-  ~0.5 uint8 LSB, i.e. dominated by the quantization the uint8 upload
-  already performs at full resolution. Contrast the rejected render fast
-  paths (fastpath_agreement.py: 80.6% / 43.6% non-modal agreement).
+  with the round-5 native Keys-bicubic coercion (the real to_image_u8
+  path, matching the device resampler to <=1 u8 step):
+    seg_agreement 0.9901 (0.9891 non-modal), hair_iou 0.9513,
+    e4e_in_rmse 0.00200, fse_in_rmse 0.00153
+  PIL-LANCZOS fallback (pre-round-5 coercion):
+    seg_agreement 0.9898 (0.9889 non-modal), hair_iou 0.948,
+    e4e_in_rmse 0.00207, fse_in_rmse 0.00200
+  The encoder-input RMSE is ~0.5 uint8 LSB — dominated by the
+  quantization the uint8 upload already performs at full resolution; with
+  the native filter the substitution cost is pure quantization. Contrast
+  the rejected render fast paths (fastpath_agreement.py: 80.6% / 43.6%
+  non-modal agreement).
 upload_res stays OPT-IN (byte parity with the reference coercion breaks),
 but is the recommended serving setting on bandwidth-limited links.
 """
@@ -50,6 +57,7 @@ def main():
 
     from hairfastgan_tpu.models import bisenet
     from hairfastgan_tpu.pipeline.embedding import fse_downscale, to_res
+    from hairfastgan_tpu.utils.images import to_image_u8
 
     k = jax.random.PRNGKey(0)
     zoo_b = jax.device_put(bisenet.init_bisenet(k, n_classes=19))
@@ -89,11 +97,12 @@ def main():
                 (l * 255).astype(np.uint8)).resize((1024, 1024),
                                                    Image.BICUBIC))
             for l in low]).astype(np.float32) / 255.0
-        # the api.swap(upload_res=...) host coercion: LANCZOS + u8
+        # the api.swap(upload_res=...) host coercion — the REAL one
+        # (utils/images.to_image_u8: native Keys bicubic when the loader
+        # is built, PIL LANCZOS fallback), so this measures exactly what
+        # serving does rather than a hand-rolled stand-in
         small = np.stack([
-            np.asarray(Image.fromarray(
-                (im * 255 + 0.5).astype(np.uint8)).resize((up, up),
-                                                          Image.LANCZOS))
+            to_image_u8((im * 255 + 0.5).astype(np.uint8), up)
             for im in imgs])
 
         seg_a, e4e_a, fse_a = jax.device_get(device_path(jnp.asarray(imgs)))
